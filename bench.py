@@ -1,0 +1,64 @@
+"""Benchmark: YOLO-DBL 640×640 batched inference throughput on one TPU chip,
+end-to-end (forward + on-device decode + on-device NMS).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: BASELINE.json north star = 5000 img/s/chip on v5e-8 (i.e. 625
+img/s/chip); the reference publishes no numbers (BASELINE.md), so
+vs_baseline is measured against the 625 img/s per-chip target.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from yolo_dbl_tpu.nn.tasks import DetectionModel
+    from yolo_dbl_tpu.ops.nms import non_max_suppression
+
+    batch = 16
+    imgsz = 640
+    dtype = jnp.bfloat16
+
+    model = DetectionModel("yolov13s_DBL.yaml", nc=3, dtype=dtype)
+    variables = model.init(jax.random.PRNGKey(0), imgsz=imgsz)
+
+    def infer(v, img):
+        pred = model.predict(v, img)
+        return non_max_suppression(
+            pred.astype(jnp.float32), conf_thres=0.25, iou_thres=0.45, max_det=300
+        )
+
+    fn = jax.jit(infer)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (batch, imgsz, imgsz, 3), dtype=jnp.float32)
+
+    # warmup + compile
+    jax.block_until_ready(fn(variables, x))
+
+    n_iters = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = fn(variables, x)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = batch * n_iters / dt
+    target_per_chip = 625.0  # BASELINE.json: 5000 img/s on v5e-8 → per chip
+    print(
+        json.dumps(
+            {
+                "metric": "yolov13s_DBL_640_inference_with_nms",
+                "value": round(imgs_per_sec, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(imgs_per_sec / target_per_chip, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""Data pipeline tests: dataset reading, letterbox, mosaic, batch format."""
+
+import numpy as np
+import pytest
+
+from yolo_dbl_tpu.data.augment import (
+    TrainTransforms,
+    ValTransforms,
+    apply_letterbox_to_boxes,
+    letterbox,
+    mosaic4,
+)
+from yolo_dbl_tpu.data.build import DataLoader, format_batch
+from yolo_dbl_tpu.data.dataset import YOLODataset
+
+from .fixtures import make_shapes_dataset
+
+
+@pytest.fixture(scope="module")
+def shapes_root(tmp_path_factory):
+    return make_shapes_dataset(tmp_path_factory.mktemp("shapes"), n_train=8, n_val=4, imgsz=160)
+
+
+def test_dataset_reads_labels(shapes_root):
+    ds = YOLODataset(shapes_root, split="train", imgsz=160)
+    assert len(ds) == 8
+    img, lab = ds.load_resized(0, 160)
+    assert img.shape == (160, 160, 3)
+    assert lab["boxes"].shape[1] == 4
+    assert len(lab["boxes"]) == len(lab["cls"]) >= 1
+    # boxes are pixel xyxy within bounds
+    assert lab["boxes"].min() >= 0 and lab["boxes"].max() <= 160
+
+
+def test_letterbox_geometry():
+    img = np.zeros((100, 200, 3), np.uint8)
+    out, gain, pad = letterbox(img, (64, 64))
+    assert out.shape == (64, 64, 3)
+    assert gain == pytest.approx(64 / 200)
+    boxes = np.array([[0.0, 0.0, 200.0, 100.0]])
+    lb = apply_letterbox_to_boxes(boxes, gain, pad)
+    assert lb[0, 0] == pytest.approx(pad[0])
+    assert lb[0, 2] == pytest.approx(pad[0] + 64)
+
+
+def test_mosaic_and_train_transforms(shapes_root):
+    ds = YOLODataset(shapes_root, split="train", imgsz=160)
+    rng = np.random.default_rng(0)
+    items = [ds.load_resized(i % len(ds), 160) for i in range(4)]
+    canvas, labels = mosaic4(items, 160, rng)
+    assert canvas.shape == (320, 320, 3)
+    assert len(labels["boxes"]) >= 4  # at least one box per tile
+    tt = TrainTransforms(imgsz=160, hyp={"mosaic": 1.0, "fliplr": 0.5})
+    img, lab = tt(ds, 0, rng)
+    assert img.shape == (160, 160, 3)
+    assert (lab["boxes"] >= 0).all() and (lab["boxes"] <= 160).all()
+
+
+def test_dataloader_batches(shapes_root):
+    ds = YOLODataset(shapes_root, split="train", imgsz=160)
+    dl = DataLoader(ds, batch_size=4, imgsz=160, augment=True, max_gt=16, prefetch=0)
+    batch = next(iter(dl))
+    assert batch["img"].shape == (4, 160, 160, 3)
+    assert batch["img"].dtype == np.float32 and batch["img"].max() <= 1.0
+    assert batch["gt_boxes"].shape == (4, 16, 4)
+    assert batch["gt_mask"].sum() >= 4
+    # normalized xywh within [0, 1]
+    m = batch["gt_mask"].astype(bool)
+    assert batch["gt_boxes"][m].min() >= 0 and batch["gt_boxes"][m].max() <= 1.0
+
+
+def test_val_loader_keeps_metadata(shapes_root):
+    ds = YOLODataset(shapes_root, split="val", imgsz=160)
+    dl = DataLoader(ds, batch_size=4, imgsz=160, augment=False, drop_last=False, prefetch=0)
+    batch = next(iter(dl))
+    assert "labels" in batch
+    assert "ratio_pad" in batch["labels"][0]

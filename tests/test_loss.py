@@ -1,0 +1,110 @@
+"""TAL assigner and detection-loss tests with hand-built targets."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolo_dbl_tpu.losses.detection import _bce_with_logits, _df_loss, detection_loss
+from yolo_dbl_tpu.losses.tal import select_candidates_in_gts, task_aligned_assign
+from yolo_dbl_tpu.ops.anchors import make_anchors
+
+
+def test_candidates_in_gts():
+    anc = jnp.array([[1.0, 1.0], [5.0, 5.0], [9.0, 9.0]])
+    gts = jnp.array([[[0.0, 0.0, 6.0, 6.0]]])  # one gt, batch 1
+    mask = select_candidates_in_gts(anc, gts)
+    np.testing.assert_array_equal(mask[0, 0], [1.0, 1.0, 0.0])
+
+
+def _synthetic_assign(nc=4, m=3):
+    """One perfect GT at a known anchor; padded GT rows masked out."""
+    anc, strides = make_anchors([(8, 8)], [8])
+    a = anc.shape[0]
+    gt_boxes = jnp.zeros((1, m, 4)).at[0, 0].set(jnp.array([8.0, 8.0, 24.0, 24.0]))
+    gt_labels = jnp.zeros((1, m), jnp.int32).at[0, 0].set(2)
+    mask_gt = jnp.zeros((1, m)).at[0, 0].set(1.0)
+    # predictions: every anchor predicts a 16x16 box centered on itself
+    centers = anc * 8.0
+    pd_boxes = jnp.concatenate([centers - 8.0, centers + 8.0], -1)[None]
+    scores = jnp.full((1, a, nc), 0.1).at[:, :, 2].set(0.9)
+    return scores, pd_boxes, anc * 8.0, gt_labels, gt_boxes, mask_gt
+
+
+def test_tal_assigns_center_anchor():
+    scores, pd_boxes, anc_pix, gt_labels, gt_boxes, mask_gt = _synthetic_assign()
+    tl, tb, ts, fg, tgi = task_aligned_assign(
+        scores, pd_boxes, anc_pix, gt_labels, gt_boxes, mask_gt, topk=10, num_classes=4
+    )
+    fg = np.asarray(fg[0])
+    assert fg.sum() > 0
+    # all foreground anchors must lie inside the gt box
+    anc_np = np.asarray(anc_pix)
+    inside = (anc_np[:, 0] > 8) & (anc_np[:, 0] < 24) & (anc_np[:, 1] > 8) & (anc_np[:, 1] < 24)
+    assert np.all(~fg | inside)
+    # the anchor exactly at gt center (16, 16) must be assigned
+    center_idx = int(np.argmin(np.abs(anc_np - 16.0).sum(-1)))
+    assert fg[center_idx]
+    # targets carry the right class and box
+    np.testing.assert_array_equal(np.asarray(tl[0])[fg], 2)
+    np.testing.assert_allclose(np.asarray(tb[0])[center_idx], [8, 8, 24, 24], atol=1e-5)
+    # padded gts assigned to nobody
+    assert np.asarray(ts).max() <= 1.0
+
+
+def test_tal_no_gt():
+    scores, pd_boxes, anc_pix, gt_labels, gt_boxes, _ = _synthetic_assign()
+    mask_gt = jnp.zeros_like(gt_labels, dtype=jnp.float32)
+    _, _, ts, fg, _ = task_aligned_assign(
+        scores, pd_boxes, anc_pix, gt_labels, gt_boxes, mask_gt, topk=10, num_classes=4
+    )
+    assert not bool(fg.any())
+    assert float(ts.sum()) == 0.0
+
+
+def test_bce_matches_torch_formula():
+    logits = jnp.array([-3.0, -0.5, 0.0, 2.0])
+    targets = jnp.array([0.0, 1.0, 0.5, 1.0])
+    ours = _bce_with_logits(logits, targets)
+    # float64 numpy evaluation of the BCEWithLogits formula (verified equal to
+    # torch.nn.functional.binary_cross_entropy_with_logits)
+    x = np.asarray(logits, np.float64)
+    z = np.asarray(targets, np.float64)
+    ref = np.maximum(x, 0) - x * z + np.log1p(np.exp(-np.abs(x)))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_df_loss_minimized_at_target():
+    """DFL CE is minimized when the softmax expectation equals the target bin."""
+    reg_max = 16
+    target = jnp.array([[3.4, 7.0, 0.0, 14.9]])
+    ideal = jax.nn.one_hot(jnp.floor(target).astype(int), reg_max) * 20.0  # sharp at floor
+    loss_sharp = _df_loss(ideal, target, reg_max)
+    uniform = jnp.zeros((1, 4, reg_max))
+    loss_uniform = _df_loss(uniform, target, reg_max)
+    assert float(loss_sharp.mean()) < float(loss_uniform.mean())
+
+
+def test_detection_loss_runs_and_descends():
+    """Gradient descent on raw maps directly should reduce the loss."""
+    rng = jax.random.PRNGKey(0)
+    b, nc = 2, 3
+    shapes = [(8, 8), (4, 4), (2, 2)]
+    strides = (8, 16, 32)
+    feats = [jax.random.normal(jax.random.fold_in(rng, i), (b, h, w, 64 + nc)) * 0.1 for i, (h, w) in enumerate(shapes)]
+    batch = {
+        "gt_boxes": jnp.tile(jnp.array([[[0.5, 0.5, 0.4, 0.4]]]), (b, 1, 1)),
+        "gt_cls": jnp.ones((b, 1), jnp.int32),
+        "gt_mask": jnp.ones((b, 1)),
+    }
+
+    def loss_of(fs):
+        total, _ = detection_loss(fs, batch, strides, nc)
+        return total
+
+    l0 = float(loss_of(feats))
+    grads = jax.grad(loss_of)(feats)
+    feats2 = [f - 0.5 * g for f, g in zip(feats, grads)]
+    l1 = float(loss_of(feats2))
+    assert np.isfinite(l0) and np.isfinite(l1)
+    assert l1 < l0

@@ -1,0 +1,165 @@
+"""Unit tests for box/anchor/resample/NMS ops against golden values.
+
+Golden behavior references: torch (CPU) for grid_sample/pixel_shuffle, and
+hand-computed boxes for the rest — mirroring the reference's docstring-example
+test style (SURVEY.md §4) but assert-based.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from yolo_dbl_tpu.ops import (
+    bbox_iou,
+    box_iou,
+    dist2bbox,
+    bbox2dist,
+    make_anchors,
+    non_max_suppression,
+    xywh2xyxy,
+    xyxy2xywh,
+)
+from yolo_dbl_tpu.ops.resample import (
+    avg_pool2,
+    grid_sample_bilinear,
+    nearest_upsample,
+    pixel_shuffle,
+    pixel_unshuffle,
+)
+
+
+def test_box_roundtrip():
+    boxes = jnp.array([[10.0, 20.0, 30.0, 60.0], [0.0, 0.0, 5.0, 5.0]])
+    xywh = xyxy2xywh(boxes)
+    np.testing.assert_allclose(xywh[0], [20.0, 40.0, 20.0, 40.0])
+    np.testing.assert_allclose(xywh2xyxy(xywh), boxes, atol=1e-6)
+
+
+def test_box_iou_golden():
+    a = jnp.array([[0.0, 0.0, 10.0, 10.0]])
+    b = jnp.array([[5.0, 5.0, 15.0, 15.0], [0.0, 0.0, 10.0, 10.0], [20.0, 20.0, 30.0, 30.0]])
+    iou = box_iou(a, b)[0]
+    np.testing.assert_allclose(iou, [25 / 175, 1.0, 0.0], atol=1e-6)
+
+
+def test_ciou_le_iou():
+    a = jnp.array([5.0, 5.0, 10.0, 10.0])  # xywh
+    b = jnp.array([6.0, 5.0, 8.0, 12.0])
+    plain = bbox_iou(a, b)
+    ciou = bbox_iou(a, b, CIoU=True)
+    assert ciou <= plain
+    assert bbox_iou(a, a, CIoU=True) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_make_anchors():
+    pts, strides = make_anchors([(2, 2), (1, 1)], [8, 16])
+    assert pts.shape == (5, 2)
+    np.testing.assert_allclose(pts[:4], [[0.5, 0.5], [1.5, 0.5], [0.5, 1.5], [1.5, 1.5]])
+    np.testing.assert_allclose(strides.ravel(), [8, 8, 8, 8, 16])
+
+
+def test_dist2bbox_bbox2dist_roundtrip():
+    anchors = jnp.array([[4.0, 4.0], [10.0, 2.0]])
+    dist = jnp.array([[1.0, 2.0, 3.0, 1.5], [0.5, 0.5, 0.5, 0.5]])
+    xyxy = dist2bbox(dist, anchors, xywh=False)
+    np.testing.assert_allclose(xyxy[0], [3.0, 2.0, 7.0, 5.5])
+    back = bbox2dist(anchors, xyxy, reg_max=16)
+    np.testing.assert_allclose(back, dist, atol=1e-6)
+
+
+def test_nearest_upsample_and_avgpool():
+    x = jnp.arange(4.0).reshape(1, 2, 2, 1)
+    up = nearest_upsample(x, 2)
+    assert up.shape == (1, 4, 4, 1)
+    np.testing.assert_allclose(up[0, :2, :2, 0], [[0, 0], [0, 0]])
+    down = avg_pool2(up)
+    np.testing.assert_allclose(down, x)
+
+
+def test_pixel_shuffle_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 3, 4, 16)).astype(np.float32)  # NHWC, C=16=4*2*2
+    ours = pixel_shuffle(jnp.asarray(x), 2)
+    ref = torch.pixel_shuffle(torch.from_numpy(x).permute(0, 3, 1, 2), 2).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+    back = pixel_unshuffle(ours, 2)
+    np.testing.assert_allclose(back, x, atol=1e-6)
+
+
+def test_grid_sample_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 5, 7, 3)).astype(np.float32)
+    grid = (rng.uniform(-1.3, 1.3, size=(2, 6, 8, 2))).astype(np.float32)  # incl. out-of-range
+    ours = grid_sample_bilinear(jnp.asarray(x), jnp.asarray(grid))
+    ref = torch.nn.functional.grid_sample(
+        torch.from_numpy(x).permute(0, 3, 1, 2),
+        torch.from_numpy(grid),
+        mode="bilinear",
+        align_corners=False,
+        padding_mode="border",
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_nms_suppresses_overlaps():
+    # two overlapping boxes of the same class + one distinct box
+    boxes_xywh = jnp.array([[50.0, 50.0, 20.0, 20.0], [52.0, 50.0, 20.0, 20.0], [150.0, 150.0, 30.0, 30.0]])
+    scores = jnp.array([[0.9, 0.0], [0.8, 0.0], [0.0, 0.7]])
+    pred = jnp.concatenate([boxes_xywh, scores], axis=-1)[None]  # (1, 3, 6)
+    dets, n = non_max_suppression(pred, conf_thres=0.25, iou_thres=0.45, max_det=10, in_format="a_no")
+    assert int(n[0]) == 2
+    np.testing.assert_allclose(dets[0, 0], [40, 40, 60, 60, 0.9, 0], atol=1e-5)
+    np.testing.assert_allclose(dets[0, 1], [135, 135, 165, 165, 0.7, 1], atol=1e-5)
+    # padding rows are zero
+    np.testing.assert_allclose(dets[0, 2:], 0.0)
+
+
+def test_nms_class_aware():
+    # same position, different classes: both survive class-aware NMS
+    boxes = jnp.array([[50.0, 50.0, 20.0, 20.0], [50.0, 50.0, 20.0, 20.0]])
+    scores = jnp.array([[0.9, 0.0], [0.0, 0.8]])
+    pred = jnp.concatenate([boxes, scores], axis=-1)[None]
+    _, n = non_max_suppression(pred, conf_thres=0.25, iou_thres=0.45, max_det=10, in_format="a_no")
+    assert int(n[0]) == 2
+    _, n_ag = non_max_suppression(
+        pred, conf_thres=0.25, iou_thres=0.45, max_det=10, class_agnostic=True, in_format="a_no"
+    )
+    assert int(n_ag[0]) == 1
+
+
+def test_nms_matches_torchvision():
+    torchvision = pytest.importorskip("torchvision")
+    import torch
+
+    rng = np.random.default_rng(7)
+    n = 60
+    cxy = rng.uniform(40, 600, size=(n, 2))
+    wh = rng.uniform(10, 80, size=(n, 2))
+    conf = rng.uniform(0, 1, size=(n, 1))
+    cls = rng.integers(0, 3, size=n)
+    scores = np.zeros((n, 3), dtype=np.float32)
+    scores[np.arange(n), cls] = conf[:, 0]
+    pred = np.concatenate([cxy, wh, scores], axis=-1).astype(np.float32)
+
+    dets, num = non_max_suppression(
+        jnp.asarray(pred)[None], conf_thres=0.25, iou_thres=0.45, max_det=300, in_format="a_no"
+    )
+    dets = np.asarray(dets[0][: int(num[0])])
+
+    # torchvision reference: batched_nms on the same candidates
+    xyxy = np.asarray(xywh2xyxy(jnp.asarray(pred[:, :4])))
+    mask = conf[:, 0] > 0.25
+    keep = torchvision.ops.batched_nms(
+        torch.from_numpy(xyxy[mask]).float(),
+        torch.from_numpy(conf[mask, 0]).float(),
+        torch.from_numpy(cls[mask]).long(),
+        0.45,
+    ).numpy()
+    ref_boxes = xyxy[mask][keep]
+    ref_scores = conf[mask, 0][keep]
+    assert len(dets) == len(keep)
+    np.testing.assert_allclose(dets[:, 4], ref_scores, atol=1e-6)
+    np.testing.assert_allclose(dets[:, :4], ref_boxes, atol=1e-4)

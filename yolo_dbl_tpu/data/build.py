@@ -1,0 +1,115 @@
+"""Batch assembly: fixed-shape padded batches for the jitted train/val steps.
+
+Replaces the reference's collate_fn + InfiniteDataLoader (data/build.py:28,
+data/dataset.py collate_fn): instead of a flat (n_total, 6) target tensor
+with image indices, GTs are padded per image to `max_gt` with a validity
+mask — the shape the TAL assigner consumes directly, constant across steps
+so the train step compiles exactly once.
+"""
+
+from __future__ import annotations
+
+import threading
+import queue as queue_mod
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from .augment import TrainTransforms, ValTransforms
+from .dataset import YOLODataset
+
+
+def format_batch(images, labels_list, imgsz: int, max_gt: int) -> Dict[str, np.ndarray]:
+    """Stack images and pad labels. Boxes become normalized xywh (the loss
+    contract, see losses/detection.py)."""
+    b = len(images)
+    img = np.stack(images).astype(np.float32) / 255.0  # NHWC [0,1]
+    gt_boxes = np.zeros((b, max_gt, 4), np.float32)
+    gt_cls = np.zeros((b, max_gt), np.int32)
+    gt_mask = np.zeros((b, max_gt), np.float32)
+    for i, lab in enumerate(labels_list):
+        boxes = lab["boxes"][:max_gt]
+        n = len(boxes)
+        if n:
+            x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+            cx, cy = (x1 + x2) / 2 / imgsz, (y1 + y2) / 2 / imgsz
+            w, h = (x2 - x1) / imgsz, (y2 - y1) / imgsz
+            gt_boxes[i, :n] = np.stack([cx, cy, w, h], axis=1)
+            gt_cls[i, :n] = lab["cls"][:max_gt][:n]
+            gt_mask[i, :n] = 1.0
+    return {"img": img, "gt_boxes": gt_boxes, "gt_cls": gt_cls, "gt_mask": gt_mask}
+
+
+class DataLoader:
+    """Simple epoch iterator with background prefetch thread.
+
+    The reference uses torch DataLoader worker processes
+    (data/build.py:135); here decode+augment runs on host threads while the
+    TPU executes the previous step — the same overlap, no process pool.
+    """
+
+    def __init__(self, dataset: YOLODataset, batch_size: int = 16, imgsz: int = 640,
+                 augment: bool = True, hyp: Optional[dict] = None, max_gt: int = 64,
+                 shuffle: Optional[bool] = None, seed: int = 0, drop_last: bool = True,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.imgsz = imgsz
+        self.max_gt = max_gt
+        self.augment = augment
+        self.transforms = TrainTransforms(imgsz, hyp) if augment else ValTransforms(imgsz)
+        self.shuffle = augment if shuffle is None else shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def close_mosaic(self):
+        if isinstance(self.transforms, TrainTransforms):
+            self.transforms.close_mosaic()
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _make_batches(self):
+        rng = np.random.default_rng(self.seed + self._epoch)
+        order = rng.permutation(len(self.dataset)) if self.shuffle else np.arange(len(self.dataset))
+        nb = len(self)
+        for bi in range(nb):
+            idxs = order[bi * self.batch_size : (bi + 1) * self.batch_size]
+            if len(idxs) == 0:
+                break
+            images, labels = [], []
+            for j in idxs:
+                img, lab = self.transforms(self.dataset, int(j), rng)
+                images.append(img)
+                labels.append(lab)
+            batch = format_batch(images, labels, self.imgsz, self.max_gt)
+            batch["indices"] = np.asarray(idxs)
+            if not self.augment:
+                batch["labels"] = labels  # keep eval metadata (ratio_pad, orig_shape)
+            yield batch
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        self._epoch += 1
+        if self.prefetch <= 0:
+            yield from self._make_batches()
+            return
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            try:
+                for b in self._make_batches():
+                    q.put(b)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item

@@ -1,0 +1,123 @@
+"""Task-Aligned Assigner in fixed-shape JAX.
+
+TPU-native re-implementation of the reference's TAL assigner
+(utils/tal.py:14 `TaskAlignedAssigner`). The torch version relies on
+boolean indexing and data-dependent shapes (with a CPU fallback on CUDA
+OOM, tal.py:74-80); here everything is padded + masked: ground truths come
+in as (B, M, ...) with a validity mask, anchors as (A, 2), and every
+intermediate is a dense (B, M, A) tensor of masked matmul/compare ops —
+XLA-friendly, no host sync, differentiable-free (callers stop_gradient).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.boxes import bbox_iou
+
+
+def select_candidates_in_gts(anc_points, gt_bboxes, eps=1e-9):
+    """Anchors whose center lies strictly inside each GT box.
+
+    Args:
+        anc_points: (A, 2) xy.
+        gt_bboxes: (B, M, 4) xyxy.
+    Returns:
+        (B, M, A) float mask.
+    """
+    lt = anc_points[None, None] - gt_bboxes[..., None, :2]  # (B, M, A, 2)
+    rb = gt_bboxes[..., None, 2:] - anc_points[None, None]
+    deltas = jnp.concatenate([lt, rb], axis=-1)
+    return (deltas.min(axis=-1) > eps).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("topk", "num_classes", "alpha", "beta"))
+def task_aligned_assign(
+    pd_scores,
+    pd_bboxes,
+    anc_points,
+    gt_labels,
+    gt_bboxes,
+    mask_gt,
+    topk=10,
+    num_classes=80,
+    alpha=0.5,
+    beta=6.0,
+    eps=1e-9,
+):
+    """Assign GTs to anchors by the task-aligned metric score^α · CIoU^β.
+
+    Args:
+        pd_scores: (B, A, nc) sigmoided class scores.
+        pd_bboxes: (B, A, 4) decoded xyxy boxes (same units as gt_bboxes).
+        anc_points: (A, 2) anchor centers (same units).
+        gt_labels: (B, M) int class ids.
+        gt_bboxes: (B, M, 4) xyxy, zero-padded.
+        mask_gt: (B, M) 1.0 for real GTs.
+
+    Returns:
+        target_labels: (B, A) int.
+        target_bboxes: (B, A, 4) xyxy.
+        target_scores: (B, A, nc) soft targets (normalized align metric).
+        fg_mask: (B, A) bool foreground anchors.
+        target_gt_idx: (B, A) int index of the assigned GT.
+    """
+    b, a, nc = pd_scores.shape
+    m = gt_bboxes.shape[1]
+    mask_gt = mask_gt.astype(jnp.float32)
+
+    # --- positive candidate mask -----------------------------------------
+    mask_in_gts = select_candidates_in_gts(anc_points, gt_bboxes)  # (B, M, A)
+    valid = mask_in_gts * mask_gt[..., None]
+
+    # per-(gt, anchor) class score: pd_scores[b, a, gt_label[b, m]]
+    ps = jnp.swapaxes(pd_scores, 1, 2)  # (B, nc, A)
+    labels = jnp.clip(gt_labels, 0, nc - 1).astype(jnp.int32)
+    bbox_scores = jnp.take_along_axis(ps, labels[..., None], axis=1)  # (B, M, A)
+    bbox_scores = bbox_scores * valid
+
+    overlaps = bbox_iou(
+        gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :], xywh=False, CIoU=True
+    )  # (B, M, A)
+    overlaps = jnp.clip(overlaps, 0.0) * valid
+
+    align_metric = bbox_scores**alpha * overlaps**beta
+
+    # --- top-k per GT ------------------------------------------------------
+    k = min(topk, a)
+    topk_metrics, topk_idxs = jax.lax.top_k(align_metric, k)  # (B, M, k)
+    topk_valid = (topk_metrics > eps) & (mask_gt[..., None] > 0)
+    onehot = jax.nn.one_hot(topk_idxs, a, dtype=align_metric.dtype)  # (B, M, k, A)
+    count = (onehot * topk_valid[..., None]).sum(axis=-2)  # (B, M, A)
+    mask_topk = jnp.where(count > 1, 0.0, count)
+    mask_pos = mask_topk * valid  # (B, M, A)
+
+    # --- resolve anchors claimed by multiple GTs: keep max overlap ---------
+    fg_counts = mask_pos.sum(axis=-2)  # (B, A)
+    max_overlap_gt = jnp.argmax(overlaps, axis=1)  # (B, A)
+    is_max = jax.nn.one_hot(max_overlap_gt, m, dtype=mask_pos.dtype)  # (B, A, M)
+    is_max = jnp.swapaxes(is_max, 1, 2)  # (B, M, A)
+    mask_pos = jnp.where((fg_counts[:, None, :] > 1), is_max, mask_pos)
+    fg_mask = mask_pos.sum(axis=-2) > 0  # (B, A)
+    target_gt_idx = jnp.argmax(mask_pos, axis=-2)  # (B, A)
+
+    # --- gather targets ----------------------------------------------------
+    target_labels = jnp.take_along_axis(labels, target_gt_idx, axis=1)  # (B, A)
+    target_bboxes = jnp.take_along_axis(
+        gt_bboxes, target_gt_idx[..., None], axis=1
+    )  # (B, A, 4)
+
+    target_scores = jax.nn.one_hot(target_labels, nc, dtype=pd_scores.dtype)
+    target_scores = target_scores * fg_mask[..., None]
+
+    # --- normalize: scale one-hot by align metric / per-GT max --------------
+    align_metric = align_metric * mask_pos
+    pos_align_metrics = align_metric.max(axis=-1, keepdims=True)  # (B, M, 1)
+    pos_overlaps = (overlaps * mask_pos).max(axis=-1, keepdims=True)  # (B, M, 1)
+    norm_align = (align_metric * pos_overlaps / (pos_align_metrics + eps)).max(axis=-2)  # (B, A)
+    target_scores = target_scores * norm_align[..., None]
+
+    return target_labels, target_bboxes, target_scores, fg_mask, target_gt_idx

@@ -1,0 +1,178 @@
+"""Base convolution modules (NHWC, flax.linen).
+
+TPU-native equivalents of the reference's nn/modules/conv.py primitives
+(Conv at conv.py:39, DWConv, DSConv at conv.py:91, Concat). Design notes:
+
+- NHWC layout throughout: channels-last is the native TPU conv layout, so
+  XLA tiles directly onto the MXU without transposes.
+- Explicit torch-style symmetric padding (autopad) rather than SAME, so
+  spatial alignment matches the reference for stride-2 convs.
+- BatchNorm uses the reference's hyperparameters (eps=1e-3, momentum=0.03,
+  set by ultralytics utils/torch_utils.py initialize_weights); flax momentum
+  is 1 - torch momentum. Conv+BN fusion is left to XLA (no manual fuse pass).
+- Mixed precision: modules carry `dtype` (compute) and keep params fp32;
+  pass dtype=jnp.bfloat16 for TPU inference/training.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Union
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+Dtype = Any
+
+BN_MOMENTUM = 0.97  # flax momentum = 1 - torch 0.03
+BN_EPS = 1e-3
+
+
+def autopad(k, p=None, d=1):
+    """'Same'-shape padding for torch-style symmetric padding (conv.py:30)."""
+    if d > 1:
+        k = d * (k - 1) + 1 if isinstance(k, int) else [d * (x - 1) + 1 for x in k]
+    if p is None:
+        p = k // 2 if isinstance(k, int) else [x // 2 for x in k]
+    return p
+
+
+def _pair(x):
+    return (x, x) if isinstance(x, int) else tuple(x)
+
+
+class Conv(nn.Module):
+    """Conv2d + BatchNorm + SiLU (reference conv.py:39), NHWC.
+
+    Args mirror the reference: c2 out-channels, k kernel, s stride, p padding
+    (None = autopad), g groups, d dilation, act True→SiLU / False→identity.
+    """
+
+    c2: int
+    k: Union[int, Sequence[int]] = 1
+    s: int = 1
+    p: Optional[int] = None
+    g: int = 1
+    d: int = 1
+    act: Union[bool, Callable] = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        k = _pair(self.k)
+        p = autopad(self.k, self.p, self.d)
+        p = _pair(p)
+        x = nn.Conv(
+            features=self.c2,
+            kernel_size=k,
+            strides=_pair(self.s),
+            padding=[p, p] if isinstance(p[0], int) else p,
+            feature_group_count=self.g,
+            kernel_dilation=_pair(self.d),
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+        if self.act is True:
+            x = nn.silu(x)
+        elif callable(self.act):
+            x = self.act(x)
+        return x
+
+
+class DWConv(nn.Module):
+    """Depthwise conv: Conv with g = gcd(c1, c2) (reference conv.py DWConv)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    d: int = 1
+    act: Union[bool, Callable] = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        return Conv(
+            self.c2, self.k, self.s, g=math.gcd(c1, self.c2), d=self.d, act=self.act, dtype=self.dtype
+        )(x, train)
+
+
+class DSConv(nn.Module):
+    """Depthwise-separable conv: DW k×k → PW 1×1 → BN → SiLU (conv.py:91).
+
+    Note the reference applies BN only once, after the pointwise conv.
+    """
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    p: Optional[int] = None
+    d: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        p = self.p if self.p is not None else (self.d * (self.k - 1)) // 2
+        x = nn.Conv(
+            features=c1,
+            kernel_size=_pair(self.k),
+            strides=_pair(self.s),
+            padding=[(p, p), (p, p)],
+            feature_group_count=c1,
+            kernel_dilation=_pair(self.d),
+            use_bias=False,
+            dtype=self.dtype,
+            name="dw",
+        )(x)
+        x = nn.Conv(features=self.c2, kernel_size=(1, 1), use_bias=False, dtype=self.dtype, name="pw")(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+        return nn.silu(x)
+
+
+class Conv2d(nn.Module):
+    """Bare torch-style conv (bias, no BN/act) for heads and raw projections."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: Optional[int] = None
+    g: int = 1
+    d: int = 1
+    bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        p = autopad(self.k, self.p, self.d)
+        p = _pair(p)
+        return nn.Conv(
+            features=self.c2,
+            kernel_size=_pair(self.k),
+            strides=_pair(self.s),
+            padding=[p, p],
+            feature_group_count=self.g,
+            kernel_dilation=_pair(self.d),
+            use_bias=self.bias,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+
+
+def concat(xs, axis=-1):
+    """Channel concat for NHWC (reference Concat module, dim=1 in NCHW)."""
+    return jnp.concatenate(xs, axis=axis)

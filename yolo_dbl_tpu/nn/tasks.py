@@ -1,0 +1,370 @@
+"""YAML → model compiler and task models.
+
+TPU-native re-implementation of the reference's model compiler
+(nn/tasks.py:947 `parse_model`, tasks.py:313 `DetectionModel`,
+tasks.py:1211-1260 yaml/scale helpers). The same `[from, repeats, module,
+args]` YAML rows and channel-inference rules are supported, but instead of
+building an nn.Sequential executed layer-by-layer in Python at every step,
+we compile the graph once into a flax module whose __call__ is traced and
+jit-compiled by XLA — the whole network is a single fused program.
+
+Two artifacts:
+  * `parse_model_spec(yaml_dict, ch)` — pure spec pass: resolves scales
+    (depth/width/max_channels), channel arithmetic, repeat expansion; returns
+    a list of LayerSpec rows plus the save-list for multi-input routing.
+  * `YOLOModel` — linen module executing the spec (static Python loop at
+    trace time, sequential-with-skip exactly like BaseModel._predict_once,
+    reference tasks.py:145-173).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import yaml
+
+from ..ops.resample import nearest_upsample
+from . import blocks as B
+from .common import Conv, DSConv, DWConv
+from .heads import Detect, decode_detections
+
+Dtype = Any
+
+CFG_DIR = Path(__file__).resolve().parent.parent / "cfg"
+
+
+def make_divisible(x, divisor=8):
+    """Round channel count up to the nearest multiple (reference utils/__init__.py)."""
+    return math.ceil(x / divisor) * divisor
+
+
+def guess_model_scale(model_path) -> str:
+    """Extract the n/s/m/l/x scale char from a model name (reference tasks.py:1227)."""
+    m = re.search(r"yolo[v]?\d+([nslmx])", Path(model_path).stem)
+    return m.group(1) if m else ""
+
+
+def yaml_model_load(path) -> Dict:
+    """Load a model YAML, resolving scale chars in the name (reference tasks.py:1245).
+
+    'yolov13s_DBL.yaml' → loads cfg/models/v13/yolov13_DBL.yaml with scale='s'.
+    """
+    path = Path(path)
+    stem = path.stem
+    scale = guess_model_scale(stem)
+    unified = re.sub(r"(\d+)([nslmx])(.+)?$", r"\1\3", stem) + ".yaml"
+    candidates = [path]
+    if path.parent == Path("."):
+        candidates += sorted(CFG_DIR.glob(f"models/*/{stem}.yaml"))
+        candidates += sorted(CFG_DIR.glob(f"models/*/{unified}"))
+    candidates.append(path.with_name(unified))
+    for cand in candidates:
+        if cand.is_file():
+            with open(cand) as f:
+                d = yaml.safe_load(f)
+            d["scale"] = scale
+            d["yaml_file"] = str(cand)
+            return d
+    raise FileNotFoundError(f"Model YAML not found for '{path}'")
+
+
+@dataclass
+class LayerSpec:
+    """One compiled layer row."""
+
+    i: int  # layer index
+    f: Union[int, List[int]]  # input layer index/indices (-1 = previous)
+    name: str  # module type name
+    args: List[Any]  # resolved positional args (incl. channels)
+    c2: int  # output channels
+    n: int = 1  # outer repeat count (sequential chain)
+
+
+@dataclass
+class ModelSpec:
+    layers: List[LayerSpec]
+    save: List[int]
+    nc: int
+    scale: str
+    yaml_dict: Dict = field(default_factory=dict)
+
+
+# module families, mirroring the reference's parse_model sets (tasks.py:981-1092)
+_C2_SCALED = {
+    "Conv", "DWConv", "DSConv", "Bottleneck", "DSBottleneck", "C2f", "C3", "C3k",
+    "C3k2", "DSC3k2", "DSC3k", "SPPF", "A2C2f", "GhostConv", "Focus",
+}
+_REPEAT_INSERT = {"C2f", "C3", "C3k2", "DSC3k2", "DSC3k", "A2C2f"}
+_LEGACY_FALSE = {"C3k2", "DSC3k2", "A2C2f"}
+# c1-only modules: yaml arg[0] (if any) is ignored, c2 = c1 (tasks.py:1156-1186)
+_C1_ONLY = {
+    "DySample", "LSKblock", "CBAM", "SLA", "EMA", "SELayer", "EdgeAwareAttention",
+    "EdgeAwareAttentionV2", "BAM", "FullyAttentionalBlock", "HiLo", "NonLocalBlock2D",
+    "BiFormerNCHW", "DAT_YOLO", "SCAM", "ELA", "CAA", "BoTAttention", "AIFI",
+    "CoTNetLayer", "TripletAttention", "EUCB", "MEUM", "DLU", "CARAFE", "ECALayer",
+    "SimAM", "CoordAttention", "GAM", "MLCA", "CPCA", "MHSA",
+}
+
+
+def parse_model_spec(d: Dict, ch: int = 3, verbose: bool = False) -> ModelSpec:
+    """Resolve a model YAML dict into a ModelSpec (reference tasks.py:947)."""
+    nc = d.get("nc", 80)
+    scales = d.get("scales")
+    depth, width, max_channels = d.get("depth_multiple", 1.0), d.get("width_multiple", 1.0), float("inf")
+    scale = d.get("scale", "")
+    if scales:
+        if not scale:
+            scale = tuple(scales.keys())[0]
+        depth, width, max_channels = scales[scale]
+
+    chs = [ch]
+    layers: List[LayerSpec] = []
+    save: List[int] = []
+    legacy = True
+    for i, (f, n, m, args) in enumerate(d["backbone"] + d["head"]):
+        args = list(args)
+        for j, a in enumerate(args):
+            if isinstance(a, str) and a == "nc":
+                args[j] = nc
+        n_ = n
+        n = max(round(n * depth), 1) if n > 1 else n
+
+        if m in _C2_SCALED:
+            c1, c2 = chs[f], args[0]
+            if c2 != nc:
+                c2 = make_divisible(min(c2, max_channels) * width, 8)
+            args = [c1, c2, *args[1:]]
+            if m in _REPEAT_INSERT:
+                args.insert(2, n)
+                n = 1
+            if m in _LEGACY_FALSE:
+                legacy = False
+            if m == "A2C2f" and scale in "lx" and scale:
+                args.append(True)   # residual
+                args.append(1.5)    # mlp_ratio
+        elif m in ("HyperACE", "HyperACE2"):
+            legacy = False
+            c1 = chs[f[1]]
+            c2 = make_divisible(min(args[0], max_channels) * width, 8)
+            he = args[1]
+            if scale == "n":
+                he = int(args[1] * 0.5)
+            elif scale == "x":
+                he = int(args[1] * 1.5)
+            args = [c1, c2, n, he, *args[2:]]
+            n = 1
+        elif m == "DownsampleConv":
+            c1 = chs[f]
+            c2 = c1 * 2
+            args = [c1]  # reference drops the yaml channel_adjust arg (tasks.py:1137)
+        elif m == "FullPAD_Tunnel":
+            c2 = chs[f[0]]
+            args = []
+        elif m in _C1_ONLY:
+            c1 = c2 = chs[f]
+            args = [c1, *args[1:]]
+        elif m == "Concat":
+            c2 = sum(chs[x] for x in f)
+        elif m in ("Detect",):
+            args.append([chs[x] for x in f])
+            args.append(legacy)
+            c2 = 0  # heads have no single channel count
+        elif m == "nn.Upsample" or m == "Upsample":
+            m = "Upsample"
+            c2 = chs[f]
+        elif m == "nn.BatchNorm2d":
+            c2 = chs[f]
+            args = [c2]
+        else:
+            c2 = chs[f] if isinstance(f, int) else chs[f[-1]]
+
+        layers.append(LayerSpec(i=i, f=f, name=m, args=args, c2=c2, n=n))
+        save.extend(x % i for x in ([f] if isinstance(f, int) else f) if x != -1)
+        if i == 0:
+            chs = []
+        chs.append(c2)
+    return ModelSpec(layers=layers, save=sorted(set(save)), nc=nc, scale=scale, yaml_dict=d)
+
+
+def _build_module(spec: LayerSpec, dtype) -> Optional[Any]:
+    """Instantiate the flax module(s) for one LayerSpec row."""
+    m, a = spec.name, spec.args
+
+    def mk(idx=None):
+        name = f"m{spec.i}" if idx is None else f"m{spec.i}_{idx}"
+        if m == "Conv":
+            return Conv(*a[1:], dtype=dtype, name=name)
+        if m == "DWConv":
+            return DWConv(*a[1:], dtype=dtype, name=name)
+        if m == "DSConv":
+            return DSConv(*a[1:], dtype=dtype, name=name)
+        if m == "Bottleneck":
+            kw = dict(zip(["shortcut", "g", "k", "e"], a[2:]))
+            if "k" in kw:
+                kw["k"] = tuple(kw["k"])
+            return B.Bottleneck(a[1], **kw, dtype=dtype, name=name)
+        if m == "C2f":
+            return B.C2f(a[1], *a[2:], dtype=dtype, name=name)
+        if m == "C3":
+            return B.C3(a[1], *a[2:], dtype=dtype, name=name)
+        if m == "C3k":
+            return B.C3k(a[1], *a[2:], dtype=dtype, name=name)
+        if m == "C3k2":
+            return B.C3k2(a[1], *a[2:], dtype=dtype, name=name)
+        if m == "DSC3k2":
+            return B.DSC3k2(a[1], *a[2:], dtype=dtype, name=name)
+        if m == "DSC3k":
+            return B.DSC3k(a[1], *a[2:], dtype=dtype, name=name)
+        if m == "DSBottleneck":
+            return B.DSBottleneck(a[1], *a[2:], dtype=dtype, name=name)
+        if m == "SPPF":
+            return B.SPPF(a[1], *a[2:], dtype=dtype, name=name)
+        if m == "A2C2f":
+            return B.A2C2f(a[1], *a[2:], dtype=dtype, name=name)
+        if m in ("HyperACE", "HyperACE2"):
+            cls = B.HyperACE if m == "HyperACE" else B.HyperACE2
+            return cls(*a, dtype=dtype, name=name)
+        if m == "DownsampleConv":
+            return B.DownsampleConv(channel_adjust=True, dtype=dtype, name=name)
+        if m == "FullPAD_Tunnel":
+            return B.FullPAD_Tunnel(dtype=dtype, name=name)
+        if m == "DySample":
+            return B.DySample(a[0], *a[1:], dtype=dtype, name=name)
+        if m == "LSKblock":
+            return B.LSKblock(a[0], dtype=dtype, name=name)
+        if m == "Detect":
+            nc, ch, legacy = a
+            return Detect(nc=nc, ch=tuple(ch), legacy=legacy, dtype=dtype, name=name)
+        if m in ("Upsample", "Concat"):
+            return None  # parameter-free, handled inline
+        raise NotImplementedError(f"module '{m}' not registered in the TPU build yet")
+
+    if spec.n > 1:
+        return [mk(j) for j in range(spec.n)]
+    return mk()
+
+
+class YOLOModel(nn.Module):
+    """Executes a ModelSpec as a single traced graph (reference tasks.py:145 _predict_once).
+
+    Call returns the list of Detect raw maps (training path) — decode /
+    NMS are separate pure functions so train/val/predict share this trunk.
+    """
+
+    spec: ModelSpec
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        mods = {}
+        for layer in self.spec.layers:
+            built = _build_module(layer, self.dtype)
+            if built is not None:
+                mods[f"layer{layer.i}"] = built
+        self._mods = mods
+
+    def __call__(self, x, train: bool = False):
+        y: List[Optional[jnp.ndarray]] = []
+        out = x
+        for layer in self.spec.layers:
+            f = layer.f
+            if isinstance(f, int):
+                inp = out if f == -1 else y[f]
+            else:
+                inp = [out if j == -1 else y[j] for j in f]
+            m = self._mods.get(f"layer{layer.i}")
+            if layer.name == "Upsample":
+                out = nearest_upsample(inp, int(layer.args[1]) if len(layer.args) > 1 else 2)
+            elif layer.name == "Concat":
+                out = jnp.concatenate(inp, axis=-1)
+            elif isinstance(m, (list, tuple)):
+                out = inp
+                for sub in m:
+                    out = sub(out, train)
+            else:
+                out = m(inp, train)
+            y.append(out if layer.i in self.spec.save else None)
+        return out  # Detect raw maps (list of NHWC)
+
+
+class DetectionModel:
+    """User-facing detection model: spec + strides + init/apply helpers.
+
+    Mirrors reference DetectionModel (tasks.py:313): builds from YAML,
+    computes per-level strides by probing output shapes, initializes head
+    biases with the stride-aware prior (head.py:188 bias_init).
+    """
+
+    def __init__(self, cfg="yolov13s_DBL.yaml", ch=3, nc=None, dtype=jnp.float32, verbose=False):
+        d = yaml_model_load(cfg) if isinstance(cfg, (str, Path)) else dict(cfg)
+        if nc is not None:
+            d["nc"] = nc
+        self.yaml = d
+        self.spec = parse_model_spec(d, ch=ch)
+        self.nc = self.spec.nc
+        self.dtype = dtype
+        self.module = YOLOModel(spec=self.spec, dtype=dtype)
+        self.reg_max = 16
+        self.strides = self._probe_strides(ch)
+        self.names = {i: f"{i}" for i in range(self.nc)}
+
+    def _probe_strides(self, ch, probe=256):
+        x = jnp.zeros((1, probe, probe, ch), dtype=jnp.float32)
+        shapes = jax.eval_shape(
+            lambda v, xx: self.module.apply(v, xx, train=False),
+            jax.eval_shape(lambda xx: self.module.init(jax.random.PRNGKey(0), xx), x),
+            x,
+        )
+        return tuple(int(probe // s.shape[1]) for s in shapes)
+
+    def init(self, rng, imgsz=640, batch=1):
+        """Initialize variables and apply Detect bias priors."""
+        x = jnp.zeros((batch, imgsz, imgsz, 3), dtype=jnp.float32)
+        variables = self.module.init(rng, x)
+        return self._bias_init(variables)
+
+    def _bias_init(self, variables):
+        """Stride-aware head bias init (reference head.py:188)."""
+        import flax
+
+        flat = flax.traverse_util.flatten_dict(variables, sep="/")
+        det_idx = self.spec.layers[-1].i
+        for lvl, s in enumerate(self.strides):
+            for key in list(flat):
+                if f"m{det_idx}/cv2_{lvl}_2/conv/bias" in key:
+                    flat[key] = jnp.ones_like(flat[key])
+                if f"m{det_idx}/cv3_{lvl}_2/conv/bias" in key:
+                    val = math.log(5 / self.nc / (640 / s) ** 2)
+                    flat[key] = jnp.full_like(flat[key], val)
+        return flax.traverse_util.unflatten_dict(flat, sep="/")
+
+    def apply(self, variables, x, train=False, mutable=None, rngs=None):
+        kwargs = {}
+        if mutable is not None:
+            kwargs["mutable"] = mutable
+        if rngs is not None:
+            kwargs["rngs"] = rngs
+        return self.module.apply(variables, x, train=train, **kwargs)
+
+    def predict(self, variables, x):
+        """Raw maps → decoded (B, 4+nc, A) predictions."""
+        feats = self.module.apply(variables, x, train=False)
+        return decode_detections(feats, self.strides, self.nc, self.reg_max)
+
+    def info(self, variables=None):
+        n_params = (
+            sum(p.size for p in jax.tree_util.tree_leaves(variables["params"])) if variables else None
+        )
+        return {
+            "layers": len(self.spec.layers),
+            "parameters": n_params,
+            "strides": self.strides,
+            "nc": self.nc,
+            "scale": self.spec.scale,
+        }

@@ -1,0 +1,126 @@
+"""Fixed-shape, on-device non-maximum suppression.
+
+TPU-native replacement for the reference's torchvision C++/CUDA NMS call
+(models/YOLO/ultralytics/utils/ops.py:167-318 `non_max_suppression`).
+Instead of dynamic-shaped candidate filtering, we keep everything padded:
+
+  1. candidate generation: multi-label (anchor, class) pairs, scores below
+     `conf_thres` are masked to -inf;
+  2. top-`pre_nms_topk` selection (replaces the max_nms=30000 sort-truncate);
+  3. class-offset greedy suppression (max_wh offset trick, ops.py:273) done as
+     a `lax.fori_loop` over the sorted candidate list with an IoU matrix —
+     O(K^2) on the VPU, no host sync;
+  4. final top-`max_det` slice, padded with zero rows.
+
+Output is always (max_det, 6) per image: [x1, y1, x2, y2, conf, cls], plus a
+valid-detection count, so the whole predict/val path stays jittable.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .boxes import box_iou, xywh2xyxy
+
+MAX_WH = 7680.0  # class-offset magnitude, mirrors reference ops.py:190
+
+
+def _suppress(boxes, scores, iou_thres):
+    """Greedy NMS over score-sorted boxes; returns keep mask (K,)."""
+    k = boxes.shape[0]
+    iou = box_iou(boxes, boxes)
+    # only higher-scoring earlier boxes can suppress later ones
+    tri = jnp.tril(jnp.ones((k, k), dtype=bool), k=-1).T  # upper triangular, no diag
+    overlap = (iou > iou_thres) & tri
+
+    def body(i, suppressed):
+        # box i suppresses overlapping lower-score boxes iff itself alive
+        row = overlap[i] & jnp.logical_not(suppressed[i])
+        return suppressed | row
+
+    suppressed = jax.lax.fori_loop(0, k, body, jnp.zeros((k,), dtype=bool))
+    return jnp.logical_not(suppressed) & (scores > -jnp.inf)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_det", "pre_nms_topk", "nc", "multi_label", "class_agnostic", "in_format"),
+)
+def non_max_suppression(
+    prediction,
+    conf_thres=0.25,
+    iou_thres=0.45,
+    max_det=300,
+    pre_nms_topk=1024,
+    nc=None,
+    multi_label=True,
+    class_agnostic=False,
+    in_format="no_a",
+):
+    """Batched fixed-shape NMS.
+
+    Args:
+        prediction: (B, 4+nc, A) decoded predictions (xywh + class scores),
+            i.e. the Detect head inference output (in_format='no_a'), or
+            (B, A, 4+nc) with in_format='a_no'.
+        conf_thres: score threshold.
+        iou_thres: IoU suppression threshold.
+        max_det: fixed number of output rows per image.
+        pre_nms_topk: candidate pool entering the O(K^2) suppression.
+        nc: number of classes (inferred from shape if None).
+        multi_label: emit one candidate per (anchor, class) above threshold
+            (reference val behavior, ops.py:263); otherwise best class only.
+        class_agnostic: suppress across classes.
+
+    Returns:
+        dets: (B, max_det, 6) [x1, y1, x2, y2, conf, cls], zero-padded.
+        num_valid: (B,) int32 count of real detections per image.
+    """
+    if in_format == "no_a":
+        prediction = jnp.swapaxes(prediction, -1, -2)  # (B, A, 4+nc)
+    b, a, no = prediction.shape
+    if nc is None:
+        nc = no - 4
+    boxes_xywh = prediction[..., :4]
+    scores_all = prediction[..., 4 : 4 + nc]
+    boxes = xywh2xyxy(boxes_xywh)  # (B, A, 4)
+
+    k = min(pre_nms_topk, a * nc if multi_label else a)
+
+    def one_image(boxes_i, scores_i):
+        if multi_label:
+            flat = scores_i.reshape(-1)  # (A*nc,)
+            flat = jnp.where(flat > conf_thres, flat, -jnp.inf)
+            top_scores, top_idx = jax.lax.top_k(flat, k)
+            anchor_idx = top_idx // nc
+            cls_idx = (top_idx % nc).astype(jnp.float32)
+            cand_boxes = boxes_i[anchor_idx]
+        else:
+            best_cls = jnp.argmax(scores_i, axis=-1)
+            best_score = jnp.max(scores_i, axis=-1)
+            best_score = jnp.where(best_score > conf_thres, best_score, -jnp.inf)
+            top_scores, anchor_idx = jax.lax.top_k(best_score, k)
+            cls_idx = best_cls[anchor_idx].astype(jnp.float32)
+            cand_boxes = boxes_i[anchor_idx]
+
+        offset = 0.0 if class_agnostic else cls_idx[:, None] * MAX_WH
+        keep = _suppress(cand_boxes + offset, top_scores, iou_thres)
+
+        kept_scores = jnp.where(keep, top_scores, -jnp.inf)
+        n_out = min(max_det, k)
+        final_scores, order = jax.lax.top_k(kept_scores, n_out)
+        valid = final_scores > -jnp.inf
+        final_boxes = jnp.where(valid[:, None], cand_boxes[order], 0.0)
+        final_cls = jnp.where(valid, cls_idx[order], 0.0)
+        final_scores = jnp.where(valid, final_scores, 0.0)
+        dets = jnp.concatenate(
+            [final_boxes, final_scores[:, None], final_cls[:, None]], axis=-1
+        )
+        if n_out < max_det:
+            dets = jnp.pad(dets, ((0, max_det - n_out), (0, 0)))
+        return dets, valid.sum().astype(jnp.int32)
+
+    return jax.vmap(one_image)(boxes, scores_all)
