@@ -3,11 +3,15 @@
 This is how multi-chip sharding is tested without a real TPU slice
 (SURVEY.md §4): XLA's host platform is split into 8 virtual devices, so
 pjit/shard_map programs compile and execute with real collectives.
+
+Note: in this image the 'axon' TPU plugin ignores JAX_PLATFORMS, so we
+additionally pin jax_default_device to CPU — otherwise every test would
+contend for the single real TPU chip.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -16,3 +20,15 @@ import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+
+try:
+    _cpus = jax.devices("cpu")
+    jax.config.update("jax_default_device", _cpus[0])
+except RuntimeError:
+    pass
+
+
+def cpu_devices(n=8):
+    return jax.devices("cpu")[:n]

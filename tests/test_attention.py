@@ -1,0 +1,69 @@
+"""Shape/property tests for the attention pool — the assert-based version of
+the reference's test.py module catalogue (SURVEY.md §3.5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolo_dbl_tpu.nn import attention as A
+from yolo_dbl_tpu.nn.attention.pooling import adaptive_avg_pool2d
+
+C = 32
+X_SHAPE = (2, 8, 8, C)
+
+
+def _run(module, x=None, **init_kwargs):
+    x = x if x is not None else jax.random.normal(jax.random.PRNGKey(0), X_SHAPE)
+    v = module.init(jax.random.PRNGKey(1), x)
+    out = module.apply(v, x)
+    return np.asarray(out), x
+
+
+MODULES = [
+    A.SELayer(C),
+    A.ECALayer(C),
+    A.CBAM(C),
+    A.SimAM(C),
+    A.EMA(C, factor=8),
+    A.CoordAttention(C, C),
+    A.GAM(C, C),
+    A.TripletAttention(C),
+    A.MLCA(C),
+    A.ELA(C),
+    A.BAM(C),
+    A.CoTNetLayer(C),
+]
+
+
+@pytest.mark.parametrize("module", MODULES, ids=lambda m: type(m).__name__)
+def test_attention_preserves_shape(module):
+    out, x = _run(module)
+    assert out.shape == X_SHAPE
+    assert np.isfinite(out).all()
+    # gated outputs must differ from input (module does something)
+    assert not np.allclose(out, np.asarray(x))
+
+
+def test_adaptive_avg_pool_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(0)
+    for (h, w), (oh, ow) in [((16, 16), (5, 5)), ((7, 9), (3, 4)), ((5, 5), (16, 16)), ((8, 8), (1, 1))]:
+        x = rng.standard_normal((2, h, w, 3)).astype(np.float32)
+        ours = np.asarray(adaptive_avg_pool2d(jnp.asarray(x), (oh, ow)))
+        ref = torch.nn.functional.adaptive_avg_pool2d(
+            torch.from_numpy(x).permute(0, 3, 1, 2), (oh, ow)
+        ).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(ours, ref, atol=1e-5, err_msg=f"{(h, w)}->{(oh, ow)}")
+
+
+def test_se_gate_bounded():
+    """SE output is a per-channel scaling of the input with gate in (0, 1)."""
+    x = jnp.abs(jax.random.normal(jax.random.PRNGKey(0), X_SHAPE)) + 0.1
+    m = A.SELayer(C)
+    v = m.init(jax.random.PRNGKey(1), x)
+    out = np.asarray(m.apply(v, x))
+    ratio = out / np.asarray(x)
+    # same scale per channel across all pixels
+    assert np.allclose(ratio.std(axis=(1, 2)), 0, atol=1e-5)
+    assert (ratio > 0).all() and (ratio < 1).all()

@@ -100,6 +100,9 @@ class ModelSpec:
 _C2_SCALED = {
     "Conv", "DWConv", "DSConv", "Bottleneck", "DSBottleneck", "C2f", "C3", "C3k",
     "C3k2", "DSC3k2", "DSC3k", "SPPF", "A2C2f", "GhostConv", "Focus",
+    # attention/backbone modules the reference registers with (c1, c2) args
+    # (tasks.py:1030-1045): CoordAttention, GAM, ...
+    "CoordAttention", "GAM",
 }
 _REPEAT_INSERT = {"C2f", "C3", "C3k2", "DSC3k2", "DSC3k", "A2C2f"}
 _LEGACY_FALSE = {"C3k2", "DSC3k2", "A2C2f"}
@@ -108,8 +111,10 @@ _C1_ONLY = {
     "DySample", "LSKblock", "CBAM", "SLA", "EMA", "SELayer", "EdgeAwareAttention",
     "EdgeAwareAttentionV2", "BAM", "FullyAttentionalBlock", "HiLo", "NonLocalBlock2D",
     "BiFormerNCHW", "DAT_YOLO", "SCAM", "ELA", "CAA", "BoTAttention", "AIFI",
-    "CoTNetLayer", "TripletAttention", "EUCB", "MEUM", "DLU", "CARAFE", "ECALayer",
-    "SimAM", "CoordAttention", "GAM", "MLCA", "CPCA", "MHSA",
+    "CoTNetLayer", "TripletAttention", "EUCB", "MEUM", "DLU", "CARAFE",
+    # extensions beyond the reference registry (reachable only from test.py
+    # there; YAML-reachable here): c1-only by construction
+    "ECALayer", "SimAM", "MLCA",
 }
 
 
@@ -193,6 +198,28 @@ def parse_model_spec(d: Dict, ch: int = 3, verbose: bool = False) -> ModelSpec:
     return ModelSpec(layers=layers, save=sorted(set(save)), nc=nc, scale=scale, yaml_dict=d)
 
 
+def _attention_builders():
+    from . import attention as A
+
+    return {
+        "SELayer": lambda a, d, n: A.SELayer(a[0], *a[1:], dtype=d, name=n),
+        "ECALayer": lambda a, d, n: A.ECALayer(a[0], *a[1:], dtype=d, name=n),
+        "CBAM": lambda a, d, n: A.CBAM(a[0], *a[1:], dtype=d, name=n),
+        "SimAM": lambda a, d, n: A.SimAM(a[0], *a[1:], dtype=d, name=n),
+        "EMA": lambda a, d, n: A.EMA(a[0], *a[1:], dtype=d, name=n),
+        "CoordAttention": lambda a, d, n: A.CoordAttention(a[0], *a[1:], dtype=d, name=n),
+        "GAM": lambda a, d, n: A.GAM(a[0], *a[1:], dtype=d, name=n),
+        "TripletAttention": lambda a, d, n: A.TripletAttention(a[0], *a[1:], dtype=d, name=n),
+        "MLCA": lambda a, d, n: A.MLCA(a[0], *a[1:], dtype=d, name=n),
+        "ELA": lambda a, d, n: A.ELA(a[0], *a[1:], dtype=d, name=n),
+        "BAM": lambda a, d, n: A.BAM(a[0], *a[1:], dtype=d, name=n),
+        "CoTNetLayer": lambda a, d, n: A.CoTNetLayer(a[0], *a[1:], dtype=d, name=n),
+    }
+
+
+_ATTENTION_BUILDERS = _attention_builders()
+
+
 def _build_module(spec: LayerSpec, dtype) -> Optional[Any]:
     """Instantiate the flax module(s) for one LayerSpec row."""
     m, a = spec.name, spec.args
@@ -239,6 +266,8 @@ def _build_module(spec: LayerSpec, dtype) -> Optional[Any]:
             return B.DySample(a[0], *a[1:], dtype=dtype, name=name)
         if m == "LSKblock":
             return B.LSKblock(a[0], dtype=dtype, name=name)
+        if m in _ATTENTION_BUILDERS:
+            return _ATTENTION_BUILDERS[m](a, dtype, name)
         if m == "Detect":
             nc, ch, legacy = a
             return Detect(nc=nc, ch=tuple(ch), legacy=legacy, dtype=dtype, name=name)
