@@ -67,3 +67,38 @@ def test_se_gate_bounded():
     # same scale per channel across all pixels
     assert np.allclose(ratio.std(axis=(1, 2)), 0, atol=1e-5)
     assert (ratio > 0).all() and (ratio < 1).all()
+
+
+SPATIAL_MODULES = [
+    A.EfficientAttention(C, key_channels=8, head_count=4),
+    A.HiLo(C, num_heads=4, window_size=2),
+    A.FullyAttentionalBlock(C),
+    A.NonLocalBlock2D(C),
+    A.MHSA(C, num_heads=4),
+    A.BoTAttention(C, heads=4, dim_head=16),
+    A.EdgeAwareAttention(C),
+]
+
+
+@pytest.mark.parametrize("module", SPATIAL_MODULES, ids=lambda m: type(m).__name__)
+def test_spatial_attention_shapes(module):
+    out, x = _run(module)
+    assert out.shape == X_SHAPE
+    assert np.isfinite(out).all()
+
+
+def test_hilo_odd_input_padding():
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 7, 9, C))
+    m = A.HiLo(C, num_heads=4, window_size=2)
+    v = m.init(jax.random.PRNGKey(1), x)
+    out = m.apply(v, x)
+    assert out.shape == (1, 7, 9, C)
+
+
+def test_nonlocal_starts_as_identity():
+    """Zero-initialized W_z BN scale makes the block an identity at init."""
+    x = jax.random.normal(jax.random.PRNGKey(0), X_SHAPE)
+    m = A.NonLocalBlock2D(C)
+    v = m.init(jax.random.PRNGKey(1), x)
+    out = np.asarray(m.apply(v, x))
+    np.testing.assert_allclose(out, np.asarray(x), atol=1e-5)

@@ -5,6 +5,15 @@ YAML compiler (nn/tasks.py) under its reference name so the same model
 configs resolve.
 """
 
+from .spatial import (
+    BoTAttention,
+    EdgeAwareAttention,
+    EfficientAttention,
+    FullyAttentionalBlock,
+    HiLo,
+    MHSA,
+    NonLocalBlock2D,
+)
 from .channel import (
     BAM,
     CBAM,
@@ -23,6 +32,13 @@ from .channel import (
 )
 
 __all__ = [
+    "BoTAttention",
+    "EdgeAwareAttention",
+    "EfficientAttention",
+    "FullyAttentionalBlock",
+    "HiLo",
+    "MHSA",
+    "NonLocalBlock2D",
     "BAM",
     "CBAM",
     "ChannelAttention",

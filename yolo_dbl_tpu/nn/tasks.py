@@ -101,8 +101,8 @@ _C2_SCALED = {
     "Conv", "DWConv", "DSConv", "Bottleneck", "DSBottleneck", "C2f", "C3", "C3k",
     "C3k2", "DSC3k2", "DSC3k", "SPPF", "A2C2f", "GhostConv", "Focus",
     # attention/backbone modules the reference registers with (c1, c2) args
-    # (tasks.py:1030-1045): CoordAttention, GAM, ...
-    "CoordAttention", "GAM",
+    # (tasks.py:1030-1045): CoordAttention, GAM, MHSA_YOLO, EfficientAttention_YOLO
+    "CoordAttention", "GAM", "MHSA_YOLO", "EfficientAttention_YOLO",
 }
 _REPEAT_INSERT = {"C2f", "C3", "C3k2", "DSC3k2", "DSC3k", "A2C2f"}
 _LEGACY_FALSE = {"C3k2", "DSC3k2", "A2C2f"}
@@ -214,6 +214,22 @@ def _attention_builders():
         "ELA": lambda a, d, n: A.ELA(a[0], *a[1:], dtype=d, name=n),
         "BAM": lambda a, d, n: A.BAM(a[0], *a[1:], dtype=d, name=n),
         "CoTNetLayer": lambda a, d, n: A.CoTNetLayer(a[0], *a[1:], dtype=d, name=n),
+        "EfficientAttention": lambda a, d, n: A.EfficientAttention(a[0], *a[1:], dtype=d, name=n),
+        "HiLo": lambda a, d, n: A.HiLo(a[0], *a[1:], dtype=d, name=n),
+        "FullyAttentionalBlock": lambda a, d, n: A.FullyAttentionalBlock(a[0], *a[1:], dtype=d, name=n),
+        "NonLocalBlock2D": lambda a, d, n: A.NonLocalBlock2D(a[0], *a[1:], dtype=d, name=n),
+        "MHSA": lambda a, d, n: A.MHSA(a[0], *a[1:], dtype=d, name=n),
+        "MHSA_YOLO": lambda a, d, n: A.MHSA(a[0], *a[1:], dtype=d, name=n),
+        "BoTAttention": lambda a, d, n: A.BoTAttention(a[0], *a[1:], dtype=d, name=n),
+        "EdgeAwareAttention": lambda a, d, n: A.EdgeAwareAttention(a[0], *a[1:], dtype=d, name=n),
+        # reference wrapper: EfficientAttention_YOLO(c1, c2, head_count=8, key_channels=64)
+        "EfficientAttention_YOLO": lambda a, d, n: A.EfficientAttention(
+            a[0],
+            key_channels=max(a[3] if len(a) > 3 else 64, (a[2] if len(a) > 2 else 8)),
+            head_count=a[2] if len(a) > 2 else 8,
+            value_channels=a[0],
+            dtype=d, name=n,
+        ),
     }
 
 
