@@ -1,0 +1,100 @@
+"""Shape/property tests for the upsampler pool (reference test.py catalogue)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolo_dbl_tpu.nn import upsample as U
+from yolo_dbl_tpu.nn.blocks import DySample
+from yolo_dbl_tpu.ops.resample import bilinear_upsample
+
+C = 32
+X = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, C))
+
+
+def _run(module, x=X):
+    v = module.init(jax.random.PRNGKey(1), x)
+    return np.asarray(module.apply(v, x))
+
+
+UP2X = [
+    U.CARAFE(C),
+    U.CARAFE_XiaLiPKU(C),
+    U.CARAFE_simplified(C),
+    U.DLU(C),
+    U.EUCB(C),
+    U.MEUM(C),
+    DySample(C),
+]
+
+
+@pytest.mark.parametrize("module", UP2X, ids=lambda m: type(m).__name__)
+def test_upsamplers_double_resolution(module):
+    out = _run(module)
+    assert out.shape == (2, 16, 16, C)
+    assert np.isfinite(out).all()
+
+
+SAME_RES = [U.SCAM(C), U.CAA(C), U.Multibranch(C), U.FEM(C, C), U.C3k2_EFE(C, n=1)]
+
+
+@pytest.mark.parametrize("module", SAME_RES, ids=lambda m: type(m).__name__)
+def test_same_resolution_modules(module):
+    out = _run(module)
+    assert out.shape == X.shape
+    assert np.isfinite(out).all()
+
+
+def test_spdconv_halves_resolution():
+    out = _run(U.SPDConv(C, 2 * C))
+    assert out.shape == (2, 4, 4, 2 * C)
+
+
+def test_ffm_concat():
+    m2 = U.FFM_Concat2(1, C, C)
+    v = m2.init(jax.random.PRNGKey(0), [X, X])
+    out = m2.apply(v, [X, X])
+    assert out.shape == (2, 8, 8, 2 * C)
+    m3 = U.FFM_Concat3(1, C, C, C)
+    v = m3.init(jax.random.PRNGKey(0), [X, X, X])
+    out = m3.apply(v, [X, X, X])
+    assert out.shape == (2, 8, 8, 3 * C)
+    # at init all weights are 1 → normalized weight per channel = 1/(3C)
+    np.testing.assert_allclose(np.asarray(out[..., :C]), np.asarray(X) / (3 * C), rtol=1e-3)
+
+
+def test_carafe_uniform_kernel_equals_nearest_for_flat_input():
+    """With a constant input, any normalized reassembly must reproduce it."""
+    x = jnp.full((1, 4, 4, 8), 3.14)
+    m = U.CARAFE_XiaLiPKU(8)
+    v = m.init(jax.random.PRNGKey(0), x)
+    out = np.asarray(m.apply(v, x))
+    np.testing.assert_allclose(out, 3.14, atol=1e-4)
+
+
+def test_bilinear_upsample_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 5, 7, 3)).astype(np.float32)
+    for ac in (True, False):
+        ours = np.asarray(bilinear_upsample(jnp.asarray(x), 2, align_corners=ac))
+        ref = torch.nn.functional.interpolate(
+            torch.from_numpy(x).permute(0, 3, 1, 2), scale_factor=2, mode="bilinear", align_corners=ac
+        ).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(ours, ref, atol=1e-5, err_msg=f"align_corners={ac}")
+
+
+def test_unfold_matches_torch():
+    torch = pytest.importorskip("torch")
+    from yolo_dbl_tpu.nn.upsample.carafe import _unfold_patches
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 6, 6, 4)).astype(np.float32)
+    for k, d in [(3, 1), (5, 2)]:
+        ours = np.asarray(_unfold_patches(jnp.asarray(x), k, d))  # (B,H,W,C,k²)
+        ref = torch.nn.functional.unfold(
+            torch.from_numpy(x).permute(0, 3, 1, 2), kernel_size=k, dilation=d, padding=(k // 2) * d
+        )  # (B, C*k², H*W)
+        ref = ref.reshape(2, 4, k * k, 6, 6).permute(0, 3, 4, 1, 2).numpy()
+        np.testing.assert_allclose(ours, ref, atol=1e-6, err_msg=f"k={k} d={d}")

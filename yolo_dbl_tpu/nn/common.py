@@ -41,6 +41,14 @@ def _pair(x):
     return (x, x) if isinstance(x, int) else tuple(x)
 
 
+def _pad_spec(p):
+    """Torch-style symmetric padding → flax per-dim (lo, hi) pairs."""
+    if isinstance(p, int):
+        return [(p, p), (p, p)]
+    ph, pw = p
+    return [(ph, ph), (pw, pw)]
+
+
 class Conv(nn.Module):
     """Conv2d + BatchNorm + SiLU (reference conv.py:39), NHWC.
 
@@ -61,12 +69,11 @@ class Conv(nn.Module):
     def __call__(self, x, train: bool = False):
         k = _pair(self.k)
         p = autopad(self.k, self.p, self.d)
-        p = _pair(p)
         x = nn.Conv(
             features=self.c2,
             kernel_size=k,
             strides=_pair(self.s),
-            padding=[p, p] if isinstance(p[0], int) else p,
+            padding=_pad_spec(p),
             feature_group_count=self.g,
             kernel_dilation=_pair(self.d),
             use_bias=False,
@@ -159,12 +166,11 @@ class Conv2d(nn.Module):
     @nn.compact
     def __call__(self, x):
         p = autopad(self.k, self.p, self.d)
-        p = _pair(p)
         return nn.Conv(
             features=self.c2,
             kernel_size=_pair(self.k),
             strides=_pair(self.s),
-            padding=[p, p],
+            padding=_pad_spec(p),
             feature_group_count=self.g,
             kernel_dilation=_pair(self.d),
             use_bias=self.bias,

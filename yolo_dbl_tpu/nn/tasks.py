@@ -103,8 +103,9 @@ _C2_SCALED = {
     # attention/backbone modules the reference registers with (c1, c2) args
     # (tasks.py:1030-1045): CoordAttention, GAM, MHSA_YOLO, EfficientAttention_YOLO
     "CoordAttention", "GAM", "MHSA_YOLO", "EfficientAttention_YOLO",
+    "FEM", "C3k2_EFE", "SPDConv",
 }
-_REPEAT_INSERT = {"C2f", "C3", "C3k2", "DSC3k2", "DSC3k", "A2C2f"}
+_REPEAT_INSERT = {"C2f", "C3", "C3k2", "DSC3k2", "DSC3k", "A2C2f", "C3k2_EFE"}
 _LEGACY_FALSE = {"C3k2", "DSC3k2", "A2C2f"}
 # c1-only modules: yaml arg[0] (if any) is ignored, c2 = c1 (tasks.py:1156-1186)
 _C1_ONLY = {
@@ -172,6 +173,9 @@ def parse_model_spec(d: Dict, ch: int = 3, verbose: bool = False) -> ModelSpec:
         elif m == "FullPAD_Tunnel":
             c2 = chs[f[0]]
             args = []
+        elif m == "Multibranch":
+            c2 = chs[f]
+            args = [c2]
         elif m in _C1_ONLY:
             c1 = c2 = chs[f]
             args = [c1, *args[1:]]
@@ -236,6 +240,30 @@ def _attention_builders():
 _ATTENTION_BUILDERS = _attention_builders()
 
 
+def _upsample_builders():
+    from . import upsample as U
+
+    return {
+        "CARAFE": lambda a, d, n: U.CARAFE(a[0], *a[1:], dtype=d, name=n),
+        "CARAFE_XiaLiPKU": lambda a, d, n: U.CARAFE_XiaLiPKU(a[0], *a[1:], dtype=d, name=n),
+        "CARAFE_simplified": lambda a, d, n: U.CARAFE_simplified(a[0], *a[1:], dtype=d, name=n),
+        "DLU": lambda a, d, n: U.DLU(a[0], *a[1:], dtype=d, name=n),
+        "EUCB": lambda a, d, n: U.EUCB(a[0], *a[1:], dtype=d, name=n),
+        "MEUM": lambda a, d, n: U.MEUM(a[0], *a[1:], dtype=d, name=n),
+        "SCAM": lambda a, d, n: U.SCAM(a[0], *a[1:], dtype=d, name=n),
+        "CAA": lambda a, d, n: U.CAA(a[0], *a[1:], dtype=d, name=n),
+        "SPDConv": lambda a, d, n: U.SPDConv(a[0], a[1], dtype=d, name=n),
+        "FEM": lambda a, d, n: U.FEM(a[0], a[1], *a[2:], dtype=d, name=n),
+        "C3k2_EFE": lambda a, d, n: U.C3k2_EFE(a[1], *a[2:], dtype=d, name=n),
+        "Multibranch": lambda a, d, n: U.Multibranch(a[0], *a[1:], dtype=d, name=n),
+        "FFM_Concat2": lambda a, d, n: U.FFM_Concat2(a[0], a[1], a[2], dtype=d, name=n),
+        "FFM_Concat3": lambda a, d, n: U.FFM_Concat3(a[0], a[1], a[2], a[3], dtype=d, name=n),
+    }
+
+
+_UPSAMPLE_BUILDERS = _upsample_builders()
+
+
 def _build_module(spec: LayerSpec, dtype) -> Optional[Any]:
     """Instantiate the flax module(s) for one LayerSpec row."""
     m, a = spec.name, spec.args
@@ -284,6 +312,8 @@ def _build_module(spec: LayerSpec, dtype) -> Optional[Any]:
             return B.LSKblock(a[0], dtype=dtype, name=name)
         if m in _ATTENTION_BUILDERS:
             return _ATTENTION_BUILDERS[m](a, dtype, name)
+        if m in _UPSAMPLE_BUILDERS:
+            return _UPSAMPLE_BUILDERS[m](a, dtype, name)
         if m == "Detect":
             nc, ch, legacy = a
             return Detect(nc=nc, ch=tuple(ch), legacy=legacy, dtype=dtype, name=name)

@@ -1,0 +1,42 @@
+"""Upsampler module pool (reference nn/modules_upsample/, 67 files).
+
+Behavior-parity batches; each registered in the YAML compiler under its
+reference name. DySample lives in nn/blocks.py (it's on the DBL hot path).
+"""
+
+from .carafe import CARAFE, CARAFE_XiaLiPKU, CARAFE_simplified, DLU
+from .misc import (
+    CAA,
+    EFE,
+    EUCB,
+    FEM,
+    FFM_Concat2,
+    FFM_Concat3,
+    FGM,
+    MEUM,
+    Multibranch,
+    OmniKernel,
+    SCAM,
+    SPDConv,
+    C3k2_EFE,
+)
+
+__all__ = [
+    "CARAFE",
+    "CARAFE_XiaLiPKU",
+    "CARAFE_simplified",
+    "DLU",
+    "CAA",
+    "EFE",
+    "EUCB",
+    "FEM",
+    "FFM_Concat2",
+    "FFM_Concat3",
+    "FGM",
+    "MEUM",
+    "Multibranch",
+    "OmniKernel",
+    "SCAM",
+    "SPDConv",
+    "C3k2_EFE",
+]

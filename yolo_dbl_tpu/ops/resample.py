@@ -58,6 +58,36 @@ def pixel_unshuffle(x, r: int):
     return x.reshape(b, h, w, c * r * r)
 
 
+def bilinear_upsample(x, scale: int = 2, align_corners: bool = True):
+    """Bilinear NHWC upsample via two 1-D interpolation matmuls (MXU-friendly).
+
+    Matches torch F.interpolate(mode='bilinear') for both align_corners modes.
+    """
+    import numpy as np
+
+    b, h, w, c = x.shape
+    oh, ow = h * scale, w * scale
+
+    def interp_matrix(n_in, n_out):
+        if align_corners:
+            src = np.linspace(0, n_in - 1, n_out) if n_out > 1 else np.zeros(1)
+        else:
+            src = (np.arange(n_out) + 0.5) * n_in / n_out - 0.5
+            src = np.clip(src, 0, n_in - 1)
+        lo = np.floor(src).astype(np.int64)
+        hi = np.minimum(lo + 1, n_in - 1)
+        frac = src - lo
+        m = np.zeros((n_out, n_in), dtype=np.float32)
+        m[np.arange(n_out), lo] += 1 - frac
+        m[np.arange(n_out), hi] += frac
+        return jnp.asarray(m)
+
+    mh = interp_matrix(h, oh).astype(x.dtype)
+    mw = interp_matrix(w, ow).astype(x.dtype)
+    y = jnp.einsum("oh,bhwc->bowc", mh, x)
+    return jnp.einsum("pw,bowc->bopc", mw, y)
+
+
 def grid_sample_bilinear(x, coords):
     """Bilinear grid sample with border padding, align_corners=False.
 
