@@ -65,12 +65,14 @@ def test_ffm_concat():
 
 
 def test_carafe_uniform_kernel_equals_nearest_for_flat_input():
-    """With a constant input, any normalized reassembly must reproduce it."""
-    x = jnp.full((1, 4, 4, 8), 3.14)
+    """With a constant input, any normalized reassembly must reproduce it
+    away from the zero-padded border (k_up//2*scale = 4 hi-res pixels)."""
+    x = jnp.full((1, 8, 8, 8), 3.14)
     m = U.CARAFE_XiaLiPKU(8)
     v = m.init(jax.random.PRNGKey(0), x)
     out = np.asarray(m.apply(v, x))
-    np.testing.assert_allclose(out, 3.14, atol=1e-4)
+    assert out.shape == (1, 16, 16, 8)
+    np.testing.assert_allclose(out[:, 4:12, 4:12], 3.14, atol=1e-4)
 
 
 def test_bilinear_upsample_matches_torch():
