@@ -75,14 +75,21 @@ def test_bce_matches_torch_formula():
 
 
 def test_df_loss_minimized_at_target():
-    """DFL CE is minimized when the softmax expectation equals the target bin."""
+    """DFL CE is minimized when the predicted distribution puts its mass on
+    the target's two adjacent bins with the interpolation weights."""
     reg_max = 16
-    target = jnp.array([[3.4, 7.0, 0.0, 14.9]])
-    ideal = jax.nn.one_hot(jnp.floor(target).astype(int), reg_max) * 20.0  # sharp at floor
+    target = jnp.array([[3.0, 7.0, 0.0, 14.0]])  # integer targets: all mass at floor
+    ideal = jax.nn.one_hot(jnp.floor(target).astype(int), reg_max) * 20.0
     loss_sharp = _df_loss(ideal, target, reg_max)
     uniform = jnp.zeros((1, 4, reg_max))
     loss_uniform = _df_loss(uniform, target, reg_max)
     assert float(loss_sharp.mean()) < float(loss_uniform.mean())
+    # fractional target: optimal distribution is (wl, wr) on (floor, ceil)
+    frac = jnp.array([[6.3]])
+    opt = jnp.log(jnp.array([0.7, 0.3]) + 1e-9)
+    logits = jnp.full((1, 1, reg_max), -30.0).at[0, 0, 6].set(opt[0]).at[0, 0, 7].set(opt[1])
+    near = jnp.full((1, 1, reg_max), -30.0).at[0, 0, 6].set(jnp.log(0.5)).at[0, 0, 7].set(jnp.log(0.5))
+    assert float(_df_loss(logits, frac, reg_max).mean()) < float(_df_loss(near, frac, reg_max).mean())
 
 
 def test_detection_loss_runs_and_descends():

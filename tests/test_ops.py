@@ -132,6 +132,8 @@ def test_nms_class_aware():
 
 def test_nms_matches_torchvision():
     torchvision = pytest.importorskip("torchvision")
+    if type(torchvision).__name__ == "_Permissive":  # refstub fake leaked into sys.modules
+        pytest.skip("torchvision is a parity stub, not the real library")
     import torch
 
     rng = np.random.default_rng(7)
