@@ -104,8 +104,12 @@ _C2_SCALED = {
     # (tasks.py:1030-1045): CoordAttention, GAM, MHSA_YOLO, EfficientAttention_YOLO
     "CoordAttention", "GAM", "MHSA_YOLO", "EfficientAttention_YOLO",
     "FEM", "C3k2_EFE", "SPDConv",
+    # structures family registered with (c1, c2) in the reference (tasks.py:1036-1046)
+    "UIB", "RepViTBlock", "GhostModuleV3", "GhostBottleneckV3", "GhostModuleV2",
+    "GhostBottleneckV2", "PatchEmbed", "SwinStage", "PatchMerging", "EffBlock",
+    "FasterBlock", "MBConv", "APConv",
 }
-_REPEAT_INSERT = {"C2f", "C3", "C3k2", "DSC3k2", "DSC3k", "A2C2f", "C3k2_EFE"}
+_REPEAT_INSERT = {"C2f", "C3", "C3k2", "DSC3k2", "DSC3k", "A2C2f", "C3k2_EFE", "EffBlock"}
 _LEGACY_FALSE = {"C3k2", "DSC3k2", "A2C2f"}
 # c1-only modules: yaml arg[0] (if any) is ignored, c2 = c1 (tasks.py:1156-1186)
 _C1_ONLY = {
@@ -115,7 +119,7 @@ _C1_ONLY = {
     "CoTNetLayer", "TripletAttention", "EUCB", "MEUM", "DLU", "CARAFE",
     # extensions beyond the reference registry (reachable only from test.py
     # there; YAML-reachable here): c1-only by construction
-    "ECALayer", "SimAM", "MLCA",
+    "ECALayer", "SimAM", "MLCA", "ScConv", "PConv",
 }
 
 
@@ -173,6 +177,8 @@ def parse_model_spec(d: Dict, ch: int = 3, verbose: bool = False) -> ModelSpec:
         elif m == "FullPAD_Tunnel":
             c2 = chs[f[0]]
             args = []
+        elif m == "ExtractLayer":
+            c2 = chs[f][args[0]] if isinstance(chs[f], (list, tuple)) else chs[f]
         elif m == "Multibranch":
             c2 = chs[f]
             args = [c2]
@@ -264,6 +270,36 @@ def _upsample_builders():
 _UPSAMPLE_BUILDERS = _upsample_builders()
 
 
+def _structure_builders():
+    from . import structures as S
+
+    return {
+        "PConv": lambda a, d, n: S.PConv(a[0], dtype=d, name=n),
+        "FasterBlock": lambda a, d, n: S.FasterBlock(a[1], *a[2:], dtype=d, name=n),
+        "ScConv": lambda a, d, n: S.ScConv(a[0], *a[1:], dtype=d, name=n),
+        "EffBlock": lambda a, d, n: S.EffBlock(a[1], *a[2:], dtype=d, name=n),
+        "MBConv": lambda a, d, n: S.MBConv(a[1], *a[2:], dtype=d, name=n),
+        # reference signature RepViTBlock(inp, hidden_dim, oup, k, s, se, hs)
+        "RepViTBlock": lambda a, d, n: S.RepViTBlock(
+            a[1], a[2] if len(a) > 2 else a[1], *a[3:], dtype=d, name=n
+        ),
+        "UIB": lambda a, d, n: S.UIB(a[1], *a[2:], dtype=d, name=n),
+        "GhostModuleV2": lambda a, d, n: S.GhostModuleV2(a[1], *a[2:], dtype=d, name=n),
+        "GhostBottleneckV2": lambda a, d, n: S.GhostBottleneckV2(a[1], a[2] if len(a) > 2 else a[1], *a[3:], dtype=d, name=n),
+        "GhostModuleV3": lambda a, d, n: S.GhostModuleV3(a[1], *a[2:], dtype=d, name=n),
+        # reference order (in, out, mid)
+        "GhostBottleneckV3": lambda a, d, n: S.GhostBottleneckV3(a[1], a[2] if len(a) > 2 else a[1], *a[3:], dtype=d, name=n),
+        "PatchEmbed": lambda a, d, n: S.PatchEmbed(a[1], *a[2:], dtype=d, name=n),
+        "PatchMerging": lambda a, d, n: S.PatchMerging(a[0], a[1], dtype=d, name=n),
+        "SwinStage": lambda a, d, n: S.SwinStage(a[0], a[1], *a[2:], dtype=d, name=n),
+        "ExtractLayer": lambda a, d, n: S.ExtractLayer(a[0], name=n),
+        "APConv": lambda a, d, n: S.APConvPinwheel(a[1], *a[2:], dtype=d, name=n),
+    }
+
+
+_STRUCTURE_BUILDERS = _structure_builders()
+
+
 def _build_module(spec: LayerSpec, dtype) -> Optional[Any]:
     """Instantiate the flax module(s) for one LayerSpec row."""
     m, a = spec.name, spec.args
@@ -314,6 +350,8 @@ def _build_module(spec: LayerSpec, dtype) -> Optional[Any]:
             return _ATTENTION_BUILDERS[m](a, dtype, name)
         if m in _UPSAMPLE_BUILDERS:
             return _UPSAMPLE_BUILDERS[m](a, dtype, name)
+        if m in _STRUCTURE_BUILDERS:
+            return _STRUCTURE_BUILDERS[m](a, dtype, name)
         if m == "Detect":
             nc, ch, legacy = a
             return Detect(nc=nc, ch=tuple(ch), legacy=legacy, dtype=dtype, name=name)
