@@ -102,3 +102,46 @@ def test_nonlocal_starts_as_identity():
     v = m.init(jax.random.PRNGKey(1), x)
     out = np.asarray(m.apply(v, x))
     np.testing.assert_allclose(out, np.asarray(x), atol=1e-5)
+
+
+def test_sla_shapes_and_zero_init():
+    """SLA with zero-init out_proj is inert at init (output = 0 + conv bias... no bias)."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, C))
+    m = A.SLA(C, num_heads=4, blkq=16, blkk=16, topk=0.25)
+    v = m.init(jax.random.PRNGKey(1), x)
+    out = np.asarray(m.apply(v, x))
+    assert out.shape == x.shape
+    np.testing.assert_allclose(out, 0.0, atol=1e-6)  # zero-init out_proj
+
+
+def test_sla_core_full_topk_is_dense_softmax():
+    """topk covering all blocks → o_s is exact attention, o_l = 0."""
+    from yolo_dbl_tpu.nn.attention.sla import sparse_linear_attention
+
+    rng = jax.random.PRNGKey(0)
+    q, k, v = (jax.random.normal(jax.random.fold_in(rng, i), (1, 2, 32, 8)) for i in range(3))
+    cq, ck = jax.nn.softmax(q, -1), jax.nn.softmax(k, -1)
+    o_s, o_l = sparse_linear_attention(q, k, v, cq, ck, topk_ratio=1.0, blkq=8, blkk=8)
+    ref = jnp.einsum("bhlm,bhmd->bhld", jax.nn.softmax(jnp.einsum("bhld,bhmd->bhlm", q, k) * 8**-0.5, -1), v)
+    np.testing.assert_allclose(np.asarray(o_s), np.asarray(ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(o_l), 0.0, atol=1e-6)
+
+
+def test_aifi_asff_psa_cpca_shapes():
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, C))
+    for m in [A.AIFI(C, num_heads=4, cm=64), A.CPCA(C)]:
+        v = m.init(jax.random.PRNGKey(1), x)
+        out = m.apply(v, x)
+        assert out.shape == x.shape, type(m).__name__
+        assert np.isfinite(np.asarray(out)).all()
+    # PSAModule needs channels divisible by its largest group (16)
+    x64 = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 64))
+    m = A.PSAModule(64)
+    v = m.init(jax.random.PRNGKey(1), x64)
+    assert m.apply(v, x64).shape == x64.shape
+    # ASFF level-1: dims per ref (512, 256, 256)
+    xs = [jnp.zeros((1, 4, 4, 512)), jnp.zeros((1, 8, 8, 256)), jnp.zeros((1, 16, 16, 256))]
+    m = A.ASFF(level=1)
+    v = m.init(jax.random.PRNGKey(0), xs)
+    out = m.apply(v, xs)
+    assert out.shape == (1, 8, 8, 512)

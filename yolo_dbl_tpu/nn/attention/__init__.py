@@ -5,6 +5,8 @@ YAML compiler (nn/tasks.py) under its reference name so the same model
 configs resolve.
 """
 
+from .extra import AIFI, ASFF, ASFFmobile, CPCA, PSAModule
+from .sla import SLA, sparse_linear_attention
 from .spatial import (
     BoTAttention,
     EdgeAwareAttention,
@@ -32,6 +34,13 @@ from .channel import (
 )
 
 __all__ = [
+    "AIFI",
+    "ASFF",
+    "ASFFmobile",
+    "CPCA",
+    "PSAModule",
+    "SLA",
+    "sparse_linear_attention",
     "BoTAttention",
     "EdgeAwareAttention",
     "EfficientAttention",

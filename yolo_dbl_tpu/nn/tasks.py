@@ -103,7 +103,7 @@ _C2_SCALED = {
     # attention/backbone modules the reference registers with (c1, c2) args
     # (tasks.py:1030-1045): CoordAttention, GAM, MHSA_YOLO, EfficientAttention_YOLO
     "CoordAttention", "GAM", "MHSA_YOLO", "EfficientAttention_YOLO",
-    "FEM", "C3k2_EFE", "SPDConv",
+    "FEM", "C3k2_EFE", "SPDConv", "PSAModule", "CPCA_YOLO",
     # structures family registered with (c1, c2) in the reference (tasks.py:1036-1046)
     "UIB", "RepViTBlock", "GhostModuleV3", "GhostBottleneckV3", "GhostModuleV2",
     "GhostBottleneckV2", "PatchEmbed", "SwinStage", "PatchMerging", "EffBlock",
@@ -119,7 +119,7 @@ _C1_ONLY = {
     "CoTNetLayer", "TripletAttention", "EUCB", "MEUM", "DLU", "CARAFE",
     # extensions beyond the reference registry (reachable only from test.py
     # there; YAML-reachable here): c1-only by construction
-    "ECALayer", "SimAM", "MLCA", "ScConv", "PConv",
+    "ECALayer", "SimAM", "MLCA", "ScConv", "PConv", "CPCA",
 }
 
 
@@ -233,6 +233,12 @@ def _attention_builders():
         "BoTAttention": lambda a, d, n: A.BoTAttention(a[0], *a[1:], dtype=d, name=n),
         "EdgeAwareAttention": lambda a, d, n: A.EdgeAwareAttention(a[0], *a[1:], dtype=d, name=n),
         # reference wrapper: EfficientAttention_YOLO(c1, c2, head_count=8, key_channels=64)
+        "SLA": lambda a, d, n: A.SLA(a[0], *a[1:], dtype=d, name=n),
+        "AIFI": lambda a, d, n: A.AIFI(a[0], *a[1:], dtype=d, name=n),
+        "PSAModule": lambda a, d, n: A.PSAModule(a[1], *a[2:], dtype=d, name=n),
+        "CPCA": lambda a, d, n: A.CPCA(a[0], *a[1:], dtype=d, name=n),
+        "CPCA_YOLO": lambda a, d, n: A.CPCA(a[0], a[1], *a[2:], dtype=d, name=n),
+        "ASFF": lambda a, d, n: A.ASFF(a[0] if isinstance(a[0], int) else 0, *a[1:], dtype=d, name=n),
         "EfficientAttention_YOLO": lambda a, d, n: A.EfficientAttention(
             a[0],
             key_channels=max(a[3] if len(a) > 3 else 64, (a[2] if len(a) > 2 else 8)),
