@@ -165,3 +165,63 @@ def test_nms_matches_torchvision():
     assert len(dets) == len(keep)
     np.testing.assert_allclose(dets[:, 4], ref_scores, atol=1e-6)
     np.testing.assert_allclose(dets[:, :4], ref_boxes, atol=1e-4)
+
+
+def test_deform_conv_zero_offset_equals_conv():
+    """With zero offsets and unit mask, deform_conv2d == plain convolution."""
+    from yolo_dbl_tpu.ops.deform_conv import deform_conv2d
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 4)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 4, 6)).astype(np.float32))
+    b, h, wd, c = x.shape
+    offset = jnp.zeros((b, 8, 8, 2 * 9))
+    out = deform_conv2d(x, offset, w, stride=1, padding=1)
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_deform_conv_integer_shift():
+    """Integer offsets shift the sampling grid exactly."""
+    from yolo_dbl_tpu.ops.deform_conv import deform_conv2d
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 10, 10, 2)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((1, 1, 2, 3)).astype(np.float32))
+    # dy=+1 for the single tap: output[i] should equal conv at input row i+1
+    offset = jnp.zeros((1, 10, 10, 2)).at[..., 0].set(1.0)
+    out = deform_conv2d(x, offset, w, stride=1, padding=0)
+    ref = jnp.einsum("bhwc,co->bhwo", x, w[0, 0])
+    np.testing.assert_allclose(np.asarray(out[:, :-1]), np.asarray(ref[:, 1:]), atol=1e-5)
+    # last row samples outside -> zeros
+    np.testing.assert_allclose(np.asarray(out[:, -1]), 0.0, atol=1e-6)
+
+
+def test_deform_conv_mask_scales_output():
+    from yolo_dbl_tpu.ops.deform_conv import deform_conv2d
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((1, 6, 6, 2)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 2, 2)).astype(np.float32))
+    offset = jnp.zeros((1, 6, 6, 18))
+    half = jnp.full((1, 6, 6, 9), 0.5)
+    out_full = deform_conv2d(x, offset, w, mask=jnp.ones((1, 6, 6, 9)), padding=1)
+    out_half = deform_conv2d(x, offset, w, mask=half, padding=1)
+    np.testing.assert_allclose(np.asarray(out_half), np.asarray(out_full) * 0.5, atol=1e-5)
+
+
+def test_deform_conv_differentiable():
+    from yolo_dbl_tpu.ops.deform_conv import deform_conv2d
+
+    x = jnp.ones((1, 6, 6, 2))
+    w = jnp.ones((3, 3, 2, 2)) * 0.1
+    offset = jnp.zeros((1, 6, 6, 18))
+
+    def loss(o, ww):
+        return deform_conv2d(x, o, ww, padding=1).sum()
+
+    go, gw = jax.grad(loss, argnums=(0, 1))(offset, w)
+    assert np.isfinite(np.asarray(go)).all() and np.isfinite(np.asarray(gw)).all()
+    assert float(jnp.abs(gw).sum()) > 0

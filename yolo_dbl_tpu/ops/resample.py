@@ -88,11 +88,11 @@ def bilinear_upsample(x, scale: int = 2, align_corners: bool = True):
     return jnp.einsum("pw,bowc->bopc", mw, y)
 
 
-def grid_sample_bilinear(x, coords):
-    """Bilinear grid sample with border padding, align_corners=False.
+def grid_sample_bilinear(x, coords, padding_mode: str = "border"):
+    """Bilinear grid sample, align_corners=False, 'border' or 'zeros' padding.
 
     Matches torch.nn.functional.grid_sample(x, grid, mode='bilinear',
-    align_corners=False, padding_mode='border') as used by DySample
+    align_corners=False) as used by DySample
     (reference modules_upsample/DySample.py:58-61), but on NHWC input.
 
     Args:
@@ -105,25 +105,34 @@ def grid_sample_bilinear(x, coords):
     b, h, w, c = x.shape
     gx = (coords[..., 0] + 1.0) * (w / 2.0) - 0.5  # unnormalize (align_corners=False)
     gy = (coords[..., 1] + 1.0) * (h / 2.0) - 0.5
+    return sample_bilinear_pixel(x, gy, gx, padding_mode)
 
+
+def sample_bilinear_pixel(x, gy, gx, padding_mode: str = "border"):
+    """Bilinear sample NHWC `x` at pixel coordinates gy/gx (B, ...)."""
+    b, h, w, c = x.shape
     x0 = jnp.floor(gx)
     y0 = jnp.floor(gy)
     wx = gx - x0
     wy = gy - y0
 
-    def clamp_gather(yi, xi):
-        yi = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
-        xi = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+    def gather(yi, xi):
+        yic = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        xic = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
         flat = x.reshape(b, h * w, c)
-        idx = yi * w + xi  # (B, Ho, Wo)
-        return jnp.take_along_axis(flat, idx.reshape(b, -1, 1), axis=1).reshape(
+        idx = yic * w + xic
+        vals = jnp.take_along_axis(flat, idx.reshape(b, -1, 1), axis=1).reshape(
             b, *idx.shape[1:], c
         )
+        if padding_mode == "zeros":
+            inb = ((yi >= 0) & (yi <= h - 1) & (xi >= 0) & (xi <= w - 1))[..., None]
+            vals = jnp.where(inb, vals, 0.0)
+        return vals
 
-    v00 = clamp_gather(y0, x0)
-    v01 = clamp_gather(y0, x0 + 1)
-    v10 = clamp_gather(y0 + 1, x0)
-    v11 = clamp_gather(y0 + 1, x0 + 1)
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x0 + 1)
+    v10 = gather(y0 + 1, x0)
+    v11 = gather(y0 + 1, x0 + 1)
 
     wx = wx[..., None]
     wy = wy[..., None]
