@@ -100,3 +100,33 @@ def test_unfold_matches_torch():
         )  # (B, C*k², H*W)
         ref = ref.reshape(2, 4, k * k, 6, 6).permute(0, 3, 4, 1, 2).numpy()
         np.testing.assert_allclose(ours, ref, atol=1e-6, err_msg=f"k={k} d={d}")
+
+
+def test_fade_and_sapa_dual_input():
+    from yolo_dbl_tpu.nn.upsample import FADE, FADELite, SAPA
+
+    en = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, C))
+    de = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, C))
+    for cls in (FADE, FADELite):
+        m = cls(C)
+        v = m.init(jax.random.PRNGKey(2), [en, de])
+        out = m.apply(v, [en, de])
+        assert out.shape == (1, 16, 16, C), cls.__name__
+        assert np.isfinite(np.asarray(out)).all()
+    m = SAPA(C)
+    v = m.init(jax.random.PRNGKey(2), [en, de])
+    out = m.apply(v, [en, de])
+    assert out.shape == (1, 16, 16, C)
+
+
+def test_sapa_uniform_attention_averages():
+    """With zero q/k embeddings, SAPA attention is uniform → output is the
+    patch mean of the lo-res input (away from zero-padded borders)."""
+    from yolo_dbl_tpu.nn.upsample import SAPA
+
+    x = jnp.full((1, 8, 8, 4), 2.0)
+    y = jnp.zeros((1, 16, 16, 4))
+    m = SAPA(4, embedding_dim=8)
+    v = m.init(jax.random.PRNGKey(0), [y, x])
+    out = np.asarray(m.apply(v, [y, x]))
+    np.testing.assert_allclose(out[:, 6:10, 6:10], 2.0, atol=1e-4)

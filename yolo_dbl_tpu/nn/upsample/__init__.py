@@ -5,6 +5,7 @@ reference name. DySample lives in nn/blocks.py (it's on the DBL hot path).
 """
 
 from .carafe import CARAFE, CARAFE_XiaLiPKU, CARAFE_simplified, DLU
+from .fade_sapa import FADE, FADELite, SAPA, carafe_apply
 from .misc import (
     CAA,
     EFE,
@@ -22,6 +23,10 @@ from .misc import (
 )
 
 __all__ = [
+    "FADE",
+    "FADELite",
+    "SAPA",
+    "carafe_apply",
     "CARAFE",
     "CARAFE_XiaLiPKU",
     "CARAFE_simplified",
