@@ -1,0 +1,73 @@
+"""Uniform inference wrapper over deployment formats.
+
+Equivalent of the reference's AutoBackend (nn/autobackend.py:158-489 — 13
+torch-ecosystem backends). The JAX deployment surface is narrower by design
+(engine/exporter.py): native deploy checkpoints, serialized StableHLO, and
+TF SavedModel all load into one callable with a `warmup` like the
+reference's.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class AutoBackend:
+    """AutoBackend(weights).__call__(img) → (B, 4+nc, A) decoded predictions."""
+
+    def __init__(self, weights: str, imgsz: int = 640):
+        self.path = Path(weights)
+        self.imgsz = imgsz
+        suffix = self.path.suffix.lower()
+        self.format: str
+        self.nc: Optional[int] = None
+        self.names = {}
+        if suffix in (".ckpt", ".pkl", ".bin"):
+            from ..engine.model import YOLO
+
+            y = YOLO(str(self.path))
+            self.nc = y.nc
+            self.names = y.names
+            model, variables = y.model, y._ensure_variables(imgsz)
+            self._fn = jax.jit(lambda img: model.predict(variables, img))
+            self.format = "deploy"
+        elif suffix in (".stablehlo", ".hlo"):
+            from ..engine.exporter import load_stablehlo
+
+            self._fn = load_stablehlo(self.path)
+            self.format = "stablehlo"
+        elif self.path.is_dir() and (self.path / "saved_model.pb").exists():
+            import tensorflow as tf
+
+            loaded = tf.saved_model.load(str(self.path))
+            serve = loaded.signatures["serving_default"]
+
+            def fn(img):
+                out = serve(jnp.asarray(img))
+                return jnp.asarray(next(iter(out.values())))
+
+            self._fn = fn
+            self.format = "saved_model"
+        elif suffix == ".yaml":
+            # bare config → random-init model (reference AutoBackend pt-from-yaml path)
+            from ..nn.tasks import DetectionModel
+
+            m = DetectionModel(str(self.path))
+            v = m.init(jax.random.PRNGKey(0), imgsz=imgsz)
+            self.nc = m.nc
+            self._fn = jax.jit(lambda img: m.predict(v, img))
+            self.format = "yaml"
+        else:
+            raise ValueError(f"unsupported weights format: {weights}")
+
+    def warmup(self, shape=(1, 640, 640, 3)):
+        out = self._fn(jnp.zeros(shape, jnp.float32))
+        jax.block_until_ready(out)
+        return self
+
+    def __call__(self, img):
+        return self._fn(img)
