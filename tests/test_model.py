@@ -47,6 +47,12 @@ def test_param_parity_with_reference_counts():
         ("yolov13s_DBL.yaml", 3): 9426044,
         ("yolov13n.yaml", 80): 2512583,
         ("yolov13s.yaml", 80): 9092391,
+        ("yolov8n.yaml", 80): 3157200,
+        ("yolov8s.yaml", 80): 11166560,
+        ("yolov5s.yaml", 80): 9153152,
+        ("yolov3.yaml", 80): 103754144,
+        ("yolov12n.yaml", 80): 2572336,
+        ("yolov12s.yaml", 80): 9164288,
     }
     for (name, nc), ref in golden.items():
         m = DetectionModel(name, nc=nc)
