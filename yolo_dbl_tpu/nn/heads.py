@@ -57,6 +57,129 @@ class Detect(nn.Module):
         return outs
 
 
+class Proto(nn.Module):
+    """Mask prototype head (reference nn/modules/block.py Proto): conv →
+    2x upsample (transposed conv) → conv → 1×1 to nm prototypes."""
+
+    c_: int = 256
+    c2: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = Conv(self.c_, 3, dtype=self.dtype, name="cv1")(x, train)
+        y = nn.ConvTranspose(self.c_, (2, 2), strides=(2, 2), dtype=self.dtype, name="upsample")(y)
+        y = Conv(self.c_, 3, dtype=self.dtype, name="cv2")(y, train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv3")(y, train)
+
+
+class Segment(nn.Module):
+    """Segmentation head (reference head.py Segment): Detect + per-level mask
+    coefficients + shared prototypes. Returns (detect_maps, coeffs, protos)."""
+
+    nc: int = 80
+    nm: int = 32
+    npr: int = 256
+    ch: Tuple[int, ...] = ()
+    reg_max: int = 16
+    legacy: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        det = Detect(self.nc, tuple(self.ch), self.reg_max, self.legacy, dtype=self.dtype, name="detect")(xs, train)
+        protos = Proto(self.npr, self.nm, dtype=self.dtype, name="proto")(xs[0], train)
+        c4 = max(self.ch[0] // 4, self.nm)
+        coeffs = []
+        for i, x in enumerate(xs):
+            y = Conv(c4, 3, dtype=self.dtype, name=f"cv4_{i}_0")(x, train)
+            y = Conv(c4, 3, dtype=self.dtype, name=f"cv4_{i}_1")(y, train)
+            coeffs.append(Conv2d(self.nm, 1, dtype=self.dtype, name=f"cv4_{i}_2")(y))
+        return det, coeffs, protos
+
+
+class Pose(nn.Module):
+    """Keypoint head (reference head.py Pose): Detect + per-level keypoint
+    regression (nk = kpt_shape[0] * kpt_shape[1])."""
+
+    nc: int = 80
+    kpt_shape: Tuple[int, int] = (17, 3)
+    ch: Tuple[int, ...] = ()
+    reg_max: int = 16
+    legacy: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        det = Detect(self.nc, tuple(self.ch), self.reg_max, self.legacy, dtype=self.dtype, name="detect")(xs, train)
+        nk = self.kpt_shape[0] * self.kpt_shape[1]
+        c4 = max(self.ch[0] // 4, nk)
+        kpts = []
+        for i, x in enumerate(xs):
+            y = Conv(c4, 3, dtype=self.dtype, name=f"cv4_{i}_0")(x, train)
+            y = Conv(c4, 3, dtype=self.dtype, name=f"cv4_{i}_1")(y, train)
+            kpts.append(Conv2d(nk, 1, dtype=self.dtype, name=f"cv4_{i}_2")(y))
+        return det, kpts
+
+
+class OBB(nn.Module):
+    """Oriented-box head (reference head.py OBB): Detect + per-level angle."""
+
+    nc: int = 80
+    ne: int = 1
+    ch: Tuple[int, ...] = ()
+    reg_max: int = 16
+    legacy: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        det = Detect(self.nc, tuple(self.ch), self.reg_max, self.legacy, dtype=self.dtype, name="detect")(xs, train)
+        c4 = max(self.ch[0] // 4, self.ne)
+        angles = []
+        for i, x in enumerate(xs):
+            y = Conv(c4, 3, dtype=self.dtype, name=f"cv4_{i}_0")(x, train)
+            y = Conv(c4, 3, dtype=self.dtype, name=f"cv4_{i}_1")(y, train)
+            a = Conv2d(self.ne, 1, dtype=self.dtype, name=f"cv4_{i}_2")(y)
+            angles.append((jax.nn.sigmoid(a) - 0.25) * jnp.pi)  # reference angle range
+        return det, angles
+
+
+class Classify(nn.Module):
+    """Classification head (reference head.py Classify): conv 1280 → GAP →
+    dropout → linear."""
+
+    c2: int  # number of classes
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if isinstance(x, (list, tuple)):
+            x = jnp.concatenate(x, axis=-1)
+        y = Conv(1280, 1, 1, dtype=self.dtype, name="conv")(x, train)
+        y = y.mean(axis=(1, 2))
+        y = nn.Dropout(0.0, deterministic=not train)(y)
+        return nn.Dense(self.c2, dtype=self.dtype, name="linear")(y)
+
+
+def decode_masks(coeffs_flat, protos, boxes_xyxy, img_hw):
+    """Combine mask coefficients with prototypes and crop to boxes
+    (reference utils/ops.py process_mask): sigmoid(coeff · protos), zeroed
+    outside each box. coeffs_flat (N, nm); protos (Hm, Wm, nm);
+    boxes in input-image pixels."""
+    hm, wm = protos.shape[:2]
+    masks = jax.nn.sigmoid(jnp.einsum("nk,hwk->nhw", coeffs_flat, protos))
+    sx, sy = wm / img_hw[1], hm / img_hw[0]
+    x1 = boxes_xyxy[:, 0:1] * sx
+    y1 = boxes_xyxy[:, 1:2] * sy
+    x2 = boxes_xyxy[:, 2:3] * sx
+    y2 = boxes_xyxy[:, 3:4] * sy
+    cols = jnp.arange(wm)[None, None, :]
+    rows = jnp.arange(hm)[None, :, None]
+    inside = (cols >= x1[..., None]) & (cols < x2[..., None]) & (rows >= y1[..., None]) & (rows < y2[..., None])
+    return masks * inside
+
+
 def dfl_expectation(box_logits, reg_max=16):
     """Distribution Focal Loss integral: E[softmax(bins)] per side.
 

@@ -187,10 +187,17 @@ def parse_model_spec(d: Dict, ch: int = 3, verbose: bool = False) -> ModelSpec:
             args = [c1, *args[1:]]
         elif m == "Concat":
             c2 = sum(chs[x] for x in f)
-        elif m in ("Detect",):
+        elif m in ("Detect", "Segment", "Pose", "OBB"):
+            if m == "Segment" and len(args) > 2:
+                args[2] = make_divisible(min(args[2], max_channels) * width, 8)
             args.append([chs[x] for x in f])
             args.append(legacy)
             c2 = 0  # heads have no single channel count
+        elif m == "Classify":
+            c1, c2 = chs[f], args[0]
+            if c2 != nc:
+                c2 = make_divisible(min(c2, max_channels) * width, 8)
+            args = [c1, c2, *args[1:]]
         elif m == "nn.Upsample" or m == "Upsample":
             m = "Upsample"
             c2 = chs[f]
@@ -361,6 +368,23 @@ def _build_module(spec: LayerSpec, dtype) -> Optional[Any]:
         if m == "Detect":
             nc, ch, legacy = a
             return Detect(nc=nc, ch=tuple(ch), legacy=legacy, dtype=dtype, name=name)
+        if m == "Segment":
+            from .heads import Segment
+            nc, nm, npr, ch, legacy = a[0], a[1] if len(a) > 3 else 32, a[2] if len(a) > 4 else 256, a[-2], a[-1]
+            return Segment(nc=nc, nm=nm, npr=npr, ch=tuple(ch), legacy=legacy, dtype=dtype, name=name)
+        if m == "Pose":
+            from .heads import Pose
+            nc, ch, legacy = a[0], a[-2], a[-1]
+            kpt = tuple(a[1]) if len(a) > 3 else (17, 3)
+            return Pose(nc=nc, kpt_shape=kpt, ch=tuple(ch), legacy=legacy, dtype=dtype, name=name)
+        if m == "OBB":
+            from .heads import OBB
+            nc, ch, legacy = a[0], a[-2], a[-1]
+            ne = a[1] if len(a) > 3 else 1
+            return OBB(nc=nc, ne=ne, ch=tuple(ch), legacy=legacy, dtype=dtype, name=name)
+        if m == "Classify":
+            from .heads import Classify
+            return Classify(a[1], dtype=dtype, name=name)
         if m in ("Upsample", "Concat"):
             return None  # parameter-free, handled inline
         raise NotImplementedError(f"module '{m}' not registered in the TPU build yet")
