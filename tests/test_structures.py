@@ -89,3 +89,19 @@ def test_structures_yaml_reachable():
     n = sum(p.size for p in jax.tree_util.tree_leaves(v["params"]))
     assert n > 0
     assert m.strides == (8, 16, 32)
+
+
+def test_giraffe_neck():
+    from yolo_dbl_tpu.nn.structures import GiraffeNeckV2
+
+    xs = [
+        jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 32)),
+        jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 64)),
+        jax.random.normal(jax.random.PRNGKey(2), (1, 4, 4, 128)),
+    ]
+    m = GiraffeNeckV2((32, 64, 128), (32, 64, 128), depth=1 / 3)
+    v = m.init(jax.random.PRNGKey(3), xs)
+    p3, p4, p5 = m.apply(v, xs)
+    assert p3.shape == (1, 16, 16, 32)
+    assert p4.shape == (1, 8, 8, 64)
+    assert p5.shape == (1, 4, 4, 128)

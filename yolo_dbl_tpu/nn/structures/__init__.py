@@ -16,6 +16,7 @@ from .blocks import (
     ScConv,
     UIB,
 )
+from .giraffe import BasicBlock3x3Reverse, ConvBNAct, CSPStage, GiraffeNeckV2, RepConvG
 from .swin import PatchEmbed, PatchMerging, SwinStage, SwinTransformerBlock, WindowAttention
 
 __all__ = [
@@ -33,6 +34,11 @@ __all__ = [
     "RepViTBlock",
     "ScConv",
     "UIB",
+    "BasicBlock3x3Reverse",
+    "ConvBNAct",
+    "CSPStage",
+    "GiraffeNeckV2",
+    "RepConvG",
     "PatchEmbed",
     "PatchMerging",
     "SwinStage",

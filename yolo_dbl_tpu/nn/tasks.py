@@ -177,6 +177,10 @@ def parse_model_spec(d: Dict, ch: int = 3, verbose: bool = False) -> ModelSpec:
         elif m == "FullPAD_Tunnel":
             c2 = chs[f[0]]
             args = []
+        elif m == "GiraffeNeckV2":
+            c1 = [chs[x] for x in f]
+            c2 = args[0]
+            args = [c1, *args]
         elif m == "ExtractLayer":
             c2 = chs[f][args[0]] if isinstance(chs[f], (list, tuple)) else chs[f]
         elif m == "Multibranch":
@@ -306,6 +310,10 @@ def _structure_builders():
         "PatchMerging": lambda a, d, n: S.PatchMerging(a[0], a[1], dtype=d, name=n),
         "SwinStage": lambda a, d, n: S.SwinStage(a[0], a[1], *a[2:], dtype=d, name=n),
         "ExtractLayer": lambda a, d, n: S.ExtractLayer(a[0], name=n),
+        "GiraffeNeckV2": lambda a, d, n: S.GiraffeNeckV2(
+            tuple(a[0]), tuple(a[1]) if len(a) > 1 and isinstance(a[1], (list, tuple)) else tuple(a[0]),
+            *a[2:], dtype=d, name=n,
+        ),
         "APConv": lambda a, d, n: S.APConvPinwheel(a[1], *a[2:], dtype=d, name=n),
     }
 
