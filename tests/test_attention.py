@@ -145,3 +145,29 @@ def test_aifi_asff_psa_cpca_shapes():
     v = m.init(jax.random.PRNGKey(0), xs)
     out = m.apply(v, xs)
     assert out.shape == (1, 8, 8, 512)
+
+
+BIG_ARCH = [
+    A.BiFormerNCHW(C, num_heads=4, n_win=2, topk=2),
+    A.Outlooker(C, num_heads=4),
+    A.AxialBlock(C // 2, kernel_size=8),
+    A.DAT(C, num_heads=4, depth=1),
+    A.DeBiAttentionBlock(C, num_heads=4, n_win=2, topk=2),
+    A.SwinTransformer(C, C, num_heads=4, window_size=4, depth=2),
+]
+
+
+@pytest.mark.parametrize("module", BIG_ARCH, ids=lambda m: type(m).__name__)
+def test_big_arch_attention_shapes(module):
+    out, x = _run(module)
+    assert out.shape == X_SHAPE
+    assert np.isfinite(out).all()
+
+
+def test_bra_full_topk_matches_dense_window_union():
+    """With topk == all regions, BRA attends globally within the union."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, C))
+    m = A.BiFormerNCHW(C, num_heads=4, n_win=2, topk=4)
+    v = m.init(jax.random.PRNGKey(1), x)
+    out = m.apply(v, x)
+    assert np.isfinite(np.asarray(out)).all()

@@ -130,3 +130,20 @@ def test_sapa_uniform_attention_averages():
     v = m.init(jax.random.PRNGKey(0), [y, x])
     out = np.asarray(m.apply(v, [y, x]))
     np.testing.assert_allclose(out[:, 6:10, 6:10], 2.0, atol=1e-4)
+
+
+def test_batch3_modules():
+    from yolo_dbl_tpu.nn.upsample import C3k2_EAMC, CARAFEplusplus, LDA_AQU, M2C2f
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, C))
+    for m, expect in [
+        (M2C2f(C, n=1, use_attn=True), (1, 8, 8, C)),
+        (C3k2_EAMC(C, n=1), (1, 8, 8, C)),
+        (CARAFEplusplus(C, up_down_type="up"), (1, 16, 16, C)),
+        (CARAFEplusplus(C, up_down_type="down"), (1, 4, 4, C)),
+        (LDA_AQU(C), (1, 16, 16, C)),
+    ]:
+        v = m.init(jax.random.PRNGKey(1), x)
+        out = m.apply(v, x)
+        assert out.shape == expect, type(m).__name__
+        assert np.isfinite(np.asarray(out)).all(), type(m).__name__

@@ -5,6 +5,17 @@ YAML compiler (nn/tasks.py) under its reference name so the same model
 configs resolve.
 """
 
+from .bigarch import (
+    DAT,
+    AxialAttention,
+    AxialBlock,
+    BiFormerNCHW,
+    DAttention,
+    DeBiAttentionBlock,
+    OutlookAttention,
+    Outlooker,
+    SwinTransformer,
+)
 from .extra import AIFI, ASFF, ASFFmobile, CPCA, PSAModule
 from .sla import SLA, sparse_linear_attention
 from .spatial import (
@@ -34,6 +45,15 @@ from .channel import (
 )
 
 __all__ = [
+    "DAT",
+    "AxialAttention",
+    "AxialBlock",
+    "BiFormerNCHW",
+    "DAttention",
+    "DeBiAttentionBlock",
+    "OutlookAttention",
+    "Outlooker",
+    "SwinTransformer",
     "AIFI",
     "ASFF",
     "ASFFmobile",

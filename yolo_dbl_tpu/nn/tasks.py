@@ -103,20 +103,20 @@ _C2_SCALED = {
     # attention/backbone modules the reference registers with (c1, c2) args
     # (tasks.py:1030-1045): CoordAttention, GAM, MHSA_YOLO, EfficientAttention_YOLO
     "CoordAttention", "GAM", "MHSA_YOLO", "EfficientAttention_YOLO",
-    "FEM", "C3k2_EFE", "SPDConv", "PSAModule", "CPCA_YOLO",
+    "FEM", "C3k2_EFE", "SPDConv", "PSAModule", "CPCA_YOLO", "SwinTransformer", "Outlooker_YOLO", "M2C2f", "C3k2_EAMC",
     # structures family registered with (c1, c2) in the reference (tasks.py:1036-1046)
     "UIB", "RepViTBlock", "GhostModuleV3", "GhostBottleneckV3", "GhostModuleV2",
     "GhostBottleneckV2", "PatchEmbed", "SwinStage", "PatchMerging", "EffBlock",
     "FasterBlock", "MBConv", "APConv",
 }
-_REPEAT_INSERT = {"C2f", "C3", "C3k2", "DSC3k2", "DSC3k", "A2C2f", "C3k2_EFE", "EffBlock"}
+_REPEAT_INSERT = {"C2f", "C3", "C3k2", "DSC3k2", "DSC3k", "A2C2f", "C3k2_EFE", "EffBlock", "M2C2f", "C3k2_EAMC"}
 _LEGACY_FALSE = {"C3k2", "DSC3k2", "A2C2f"}
 # c1-only modules: yaml arg[0] (if any) is ignored, c2 = c1 (tasks.py:1156-1186)
 _C1_ONLY = {
     "DySample", "LSKblock", "CBAM", "SLA", "EMA", "SELayer", "EdgeAwareAttention",
     "EdgeAwareAttentionV2", "BAM", "FullyAttentionalBlock", "HiLo", "NonLocalBlock2D",
     "BiFormerNCHW", "DAT_YOLO", "SCAM", "ELA", "CAA", "BoTAttention", "AIFI",
-    "CoTNetLayer", "TripletAttention", "EUCB", "MEUM", "DLU", "CARAFE",
+    "CoTNetLayer", "TripletAttention", "EUCB", "MEUM", "DLU", "CARAFE", "CARAFEplusplus", "LDA_AQU",
     # extensions beyond the reference registry (reachable only from test.py
     # there; YAML-reachable here): c1-only by construction
     "ECALayer", "SimAM", "MLCA", "ScConv", "PConv", "CPCA",
@@ -245,6 +245,12 @@ def _attention_builders():
         "EdgeAwareAttention": lambda a, d, n: A.EdgeAwareAttention(a[0], *a[1:], dtype=d, name=n),
         # reference wrapper: EfficientAttention_YOLO(c1, c2, head_count=8, key_channels=64)
         "SLA": lambda a, d, n: A.SLA(a[0], *a[1:], dtype=d, name=n),
+        "BiFormerNCHW": lambda a, d, n: A.BiFormerNCHW(a[0], *a[1:], dtype=d, name=n),
+        "DAT_YOLO": lambda a, d, n: A.DAT(a[0], *a[1:], dtype=d, name=n),
+        "DeBiAttentionBlock": lambda a, d, n: A.DeBiAttentionBlock(a[0], *a[1:], dtype=d, name=n),
+        "AxialBlock_YOLO": lambda a, d, n: A.AxialBlock(a[0] // 2, kernel_size=a[1] if len(a) > 1 else 20, dtype=d, name=n),
+        "Outlooker_YOLO": lambda a, d, n: A.Outlooker(a[1], *a[2:], dtype=d, name=n),
+        "SwinTransformer": lambda a, d, n: A.SwinTransformer(a[0], a[1], *a[2:], dtype=d, name=n),
         "AIFI": lambda a, d, n: A.AIFI(a[0], *a[1:], dtype=d, name=n),
         "PSAModule": lambda a, d, n: A.PSAModule(a[1], *a[2:], dtype=d, name=n),
         "CPCA": lambda a, d, n: A.CPCA(a[0], *a[1:], dtype=d, name=n),
@@ -280,6 +286,10 @@ def _upsample_builders():
         "C3k2_EFE": lambda a, d, n: U.C3k2_EFE(a[1], *a[2:], dtype=d, name=n),
         "Multibranch": lambda a, d, n: U.Multibranch(a[0], *a[1:], dtype=d, name=n),
         "FFM_Concat2": lambda a, d, n: U.FFM_Concat2(a[0], a[1], a[2], dtype=d, name=n),
+        "M2C2f": lambda a, d, n: U.M2C2f(a[1], *a[2:], dtype=d, name=n),
+        "C3k2_EAMC": lambda a, d, n: U.C3k2_EAMC(a[1], *a[2:], dtype=d, name=n),
+        "CARAFEplusplus": lambda a, d, n: U.CARAFEplusplus(a[0], *a[1:], dtype=d, name=n),
+        "LDA_AQU": lambda a, d, n: U.LDA_AQU(a[0], *a[1:], dtype=d, name=n),
         "FFM_Concat3": lambda a, d, n: U.FFM_Concat3(a[0], a[1], a[2], a[3], dtype=d, name=n),
     }
 

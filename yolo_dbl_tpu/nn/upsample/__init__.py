@@ -4,6 +4,7 @@ Behavior-parity batches; each registered in the YAML compiler under its
 reference name. DySample lives in nn/blocks.py (it's on the DBL hot path).
 """
 
+from .batch3 import C3k2_EAMC, CARAFEplusplus, DyT, LDA_AQU, M2C2f, MBlock, WindowMHSA
 from .carafe import CARAFE, CARAFE_XiaLiPKU, CARAFE_simplified, DLU
 from .fade_sapa import FADE, FADELite, SAPA, carafe_apply
 from .misc import (
@@ -23,6 +24,13 @@ from .misc import (
 )
 
 __all__ = [
+    "C3k2_EAMC",
+    "CARAFEplusplus",
+    "DyT",
+    "LDA_AQU",
+    "M2C2f",
+    "MBlock",
+    "WindowMHSA",
     "FADE",
     "FADELite",
     "SAPA",
