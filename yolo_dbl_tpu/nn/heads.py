@@ -57,6 +57,52 @@ class Detect(nn.Module):
         return outs
 
 
+class V10Detect(nn.Module):
+    """NMS-free v10 head (reference head.py v10Detect): the lightweight
+    DWConv cls branch (== Detect legacy=False) duplicated into one2many
+    (training aux, TAL top-10) and one2one (deployment, TAL top-1) branches;
+    one2one consumes detached features.
+
+    Returns {'one2many': [...], 'one2one': [...]} raw map lists.
+    """
+
+    nc: int = 80
+    ch: Tuple[int, ...] = ()
+    reg_max: int = 16
+    max_det: int = 300
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        one2many = Detect(self.nc, tuple(self.ch), self.reg_max, False, dtype=self.dtype, name="one2many")(xs, train)
+        detached = [jax.lax.stop_gradient(x) for x in xs]
+        one2one = Detect(self.nc, tuple(self.ch), self.reg_max, False, dtype=self.dtype, name="one2one")(detached, train)
+        return {"one2many": one2many, "one2one": one2one}
+
+
+def v10_postprocess(pred, max_det=300, nc=80):
+    """NMS-free top-k selection (reference head.py Detect.postprocess):
+    pred (B, 4+nc, A) decoded one2one output → (B, max_det, 6)."""
+    pred = jnp.swapaxes(pred, -1, -2)  # (B, A, 4+nc)
+    boxes, scores = pred[..., :4], pred[..., 4:]
+    best = scores.max(axis=-1)
+    k = min(max_det, best.shape[-1])
+    top, idx = jax.lax.top_k(best, k)
+    b = pred.shape[0]
+    sel_boxes = jnp.take_along_axis(boxes, idx[..., None], axis=1)
+    sel_scores = jnp.take_along_axis(scores, idx[..., None].repeat(scores.shape[-1], -1), axis=1)
+    flat_scores = sel_scores.reshape(b, -1)
+    top2, idx2 = jax.lax.top_k(flat_scores, k)
+    anchor_idx = idx2 // scores.shape[-1]
+    cls_idx = (idx2 % scores.shape[-1]).astype(jnp.float32)
+    final_boxes = jnp.take_along_axis(sel_boxes, anchor_idx[..., None], axis=1)
+    from ..ops.boxes import xywh2xyxy
+
+    return jnp.concatenate(
+        [xywh2xyxy(final_boxes), top2[..., None], cls_idx[..., None]], axis=-1
+    )
+
+
 class Proto(nn.Module):
     """Mask prototype head (reference nn/modules/block.py Proto): conv →
     2x upsample (transposed conv) → conv → 1×1 to nm prototypes."""

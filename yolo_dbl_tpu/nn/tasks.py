@@ -108,8 +108,12 @@ _C2_SCALED = {
     "UIB", "RepViTBlock", "GhostModuleV3", "GhostBottleneckV3", "GhostModuleV2",
     "GhostBottleneckV2", "PatchEmbed", "SwinStage", "PatchMerging", "EffBlock",
     "FasterBlock", "MBConv", "APConv",
+    # v7/v9/v10/v11 family (reference tasks.py:1001-1016)
+    "RepConv", "RepCSP", "RepNCSPELAN4", "ELAN1", "ADown", "AConv", "SPPELAN",
+    "SCDown", "C2fCIB", "PSA", "C2PSA",
 }
-_REPEAT_INSERT = {"C2f", "C3", "C3k2", "DSC3k2", "DSC3k", "A2C2f", "C3k2_EFE", "EffBlock", "M2C2f", "C3k2_EAMC"}
+_REPEAT_INSERT = {"C2f", "C3", "C3k2", "DSC3k2", "DSC3k", "A2C2f", "C3k2_EFE", "EffBlock", "M2C2f", "C3k2_EAMC",
+                  "C2fCIB", "C2PSA", "RepCSP"}
 _LEGACY_FALSE = {"C3k2", "DSC3k2", "A2C2f"}
 # c1-only modules: yaml arg[0] (if any) is ignored, c2 = c1 (tasks.py:1156-1186)
 _C1_ONLY = {
@@ -191,6 +195,9 @@ def parse_model_spec(d: Dict, ch: int = 3, verbose: bool = False) -> ModelSpec:
             args = [c1, *args[1:]]
         elif m == "Concat":
             c2 = sum(chs[x] for x in f)
+        elif m == "v10Detect":
+            args.append([chs[x] for x in f])
+            c2 = 0
         elif m in ("Detect", "Segment", "Pose", "OBB"):
             if m == "Segment" and len(args) > 2:
                 args[2] = make_divisible(min(args[2], max_channels) * width, 8)
@@ -331,6 +338,27 @@ def _structure_builders():
 _STRUCTURE_BUILDERS = _structure_builders()
 
 
+def _v9v10_builders():
+    from . import v9v10 as V
+
+    return {
+        "RepConv": lambda a, d, n: V.RepConv(a[1], *a[2:], dtype=d, name=n),
+        "RepCSP": lambda a, d, n: V.RepCSP(a[1], *a[2:], dtype=d, name=n),
+        "RepNCSPELAN4": lambda a, d, n: V.RepNCSPELAN4(a[1], a[2], a[3], *a[4:], dtype=d, name=n),
+        "ELAN1": lambda a, d, n: V.ELAN1(a[1], a[2], a[3], dtype=d, name=n),
+        "ADown": lambda a, d, n: V.ADown(a[1], dtype=d, name=n),
+        "AConv": lambda a, d, n: V.AConv(a[1], dtype=d, name=n),
+        "SPPELAN": lambda a, d, n: V.SPPELAN(a[1], a[2], *a[3:], dtype=d, name=n),
+        "SCDown": lambda a, d, n: V.SCDown(a[1], *a[2:], dtype=d, name=n),
+        "C2fCIB": lambda a, d, n: V.C2fCIB(a[1], *a[2:], dtype=d, name=n),
+        "PSA": lambda a, d, n: V.PSA(a[1], *a[2:], dtype=d, name=n),
+        "C2PSA": lambda a, d, n: V.C2PSA(a[1], *a[2:], dtype=d, name=n),
+    }
+
+
+_V9V10_BUILDERS = _v9v10_builders()
+
+
 def _build_module(spec: LayerSpec, dtype) -> Optional[Any]:
     """Instantiate the flax module(s) for one LayerSpec row."""
     m, a = spec.name, spec.args
@@ -383,9 +411,14 @@ def _build_module(spec: LayerSpec, dtype) -> Optional[Any]:
             return _UPSAMPLE_BUILDERS[m](a, dtype, name)
         if m in _STRUCTURE_BUILDERS:
             return _STRUCTURE_BUILDERS[m](a, dtype, name)
+        if m in _V9V10_BUILDERS:
+            return _V9V10_BUILDERS[m](a, dtype, name)
         if m == "Detect":
             nc, ch, legacy = a
             return Detect(nc=nc, ch=tuple(ch), legacy=legacy, dtype=dtype, name=name)
+        if m == "v10Detect":
+            from .heads import V10Detect
+            return V10Detect(nc=a[0], ch=tuple(a[-1]), dtype=dtype, name=name)
         if m == "Segment":
             from .heads import Segment
             nc, nm, npr, ch, legacy = a[0], a[1] if len(a) > 3 else 32, a[2] if len(a) > 4 else 256, a[-2], a[-1]
@@ -482,6 +515,10 @@ class DetectionModel:
             jax.eval_shape(lambda xx: self.module.init(jax.random.PRNGKey(0), xx), x),
             x,
         )
+        if isinstance(shapes, dict):  # v10Detect / end2end heads
+            shapes = shapes.get("one2one", next(iter(shapes.values())))
+        elif isinstance(shapes, tuple) and len(shapes) and not hasattr(shapes[0], "shape"):
+            shapes = shapes[0]  # Segment/Pose/OBB (det_maps, aux...) tuples
         return tuple(int(probe // s.shape[1]) for s in shapes)
 
     def init(self, rng, imgsz=640, batch=1):
@@ -514,8 +551,13 @@ class DetectionModel:
         return self.module.apply(variables, x, train=train, **kwargs)
 
     def predict(self, variables, x):
-        """Raw maps → decoded (B, 4+nc, A) predictions."""
+        """Raw maps → decoded (B, 4+nc, A) predictions. For end2end (v10)
+        heads the one2one branch is decoded (reference forward_end2end)."""
         feats = self.module.apply(variables, x, train=False)
+        if isinstance(feats, dict):
+            feats = feats["one2one"]
+        elif isinstance(feats, tuple) and len(feats) and not hasattr(feats[0], "shape"):
+            feats = feats[0]
         return decode_detections(feats, self.strides, self.nc, self.reg_max)
 
     def info(self, variables=None):
