@@ -115,3 +115,62 @@ def test_detection_loss_runs_and_descends():
     l1 = float(loss_of(feats2))
     assert np.isfinite(l0) and np.isfinite(l1)
     assert l1 < l0
+
+
+def test_e2e_and_classification_losses():
+    from yolo_dbl_tpu.losses.extra import classification_loss, e2e_detect_loss
+
+    rng = jax.random.PRNGKey(0)
+    feats = {
+        "one2many": [jax.random.normal(rng, (1, 8, 8, 67)) * 0.1,
+                     jax.random.normal(rng, (1, 4, 4, 67)) * 0.1,
+                     jax.random.normal(rng, (1, 2, 2, 67)) * 0.1],
+    }
+    feats["one2one"] = feats["one2many"]
+    batch = {
+        "gt_boxes": jnp.array([[[0.5, 0.5, 0.4, 0.4]]]),
+        "gt_cls": jnp.zeros((1, 1), jnp.int32),
+        "gt_mask": jnp.ones((1, 1)),
+    }
+    total, items = e2e_detect_loss(feats, batch, (8, 16, 32), 3)
+    assert np.isfinite(float(total))
+    # perfect logits → near-zero CE; uniform → log(nc)
+    labels = jnp.array([0, 1, 2])
+    sharp = jax.nn.one_hot(labels, 3) * 30
+    assert float(classification_loss(sharp, labels)) < 1e-3
+    assert float(classification_loss(jnp.zeros((3, 3)), labels)) == pytest.approx(np.log(3), abs=1e-5)
+
+
+def test_probiou_properties():
+    from yolo_dbl_tpu.losses.extra import probiou
+
+    a = jnp.array([10.0, 10.0, 4.0, 2.0, 0.3])
+    assert float(probiou(a, a)) == pytest.approx(1.0, abs=1e-3)
+    far = jnp.array([100.0, 100.0, 4.0, 2.0, 0.3])
+    assert float(probiou(a, far)) < 0.05
+    # rotation changes similarity
+    rot = jnp.array([10.0, 10.0, 4.0, 2.0, 0.3 + np.pi / 2])
+    assert float(probiou(a, rot)) < float(probiou(a, a))
+
+
+def test_keypoint_loss_zero_at_match():
+    from yolo_dbl_tpu.losses.extra import keypoint_loss
+
+    kpts = jnp.array([[[3.0, 4.0], [5.0, 6.0]]])
+    mask = jnp.ones((1, 2))
+    area = jnp.array([100.0])
+    assert float(keypoint_loss(kpts, kpts, mask, area)) == pytest.approx(0.0, abs=1e-6)
+    off = kpts + 5.0
+    assert float(keypoint_loss(off, kpts, mask, area)) > 0.1
+
+
+def test_crop_mask_loss():
+    from yolo_dbl_tpu.losses.extra import crop_mask_loss
+
+    pred = jnp.full((1, 8, 8), 10.0)  # predicts all-ones
+    gt = jnp.ones((1, 8, 8))
+    boxes = jnp.array([[1.0, 1.0, 6.0, 6.0]])
+    w = jnp.ones((1,))
+    assert float(crop_mask_loss(pred, gt, boxes, w)) < 1e-3
+    gt_zero = jnp.zeros((1, 8, 8))
+    assert float(crop_mask_loss(pred, gt_zero, boxes, w)) > 1.0
