@@ -132,3 +132,22 @@ def test_ssd_full_model_smoke():
     assert priors.shape[0] == 8732
     assert cls_logits.shape == (1, 8732, 4)
     assert bbox_reg.shape == (1, 8732, 4)
+
+
+def test_rtdetr_decoder_smoke():
+    from yolo_dbl_tpu.models.rtdetr import RTDETRDecoder, rtdetr_postprocess
+
+    feats = [
+        jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 64)),
+        jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 64)),
+        jax.random.normal(jax.random.PRNGKey(2), (1, 4, 4, 64)),
+    ]
+    m = RTDETRDecoder(nc=5, ch=(64, 64, 64), hd=64, nq=20, ndl=2, nh=4)
+    v = m.init(jax.random.PRNGKey(3), feats)
+    dec_b, dec_s, enc_b, enc_s = m.apply(v, feats)
+    assert dec_b.shape == (1, 2, 20, 4)
+    assert dec_s.shape == (1, 2, 20, 5)
+    assert float(dec_b.min()) >= 0 and float(dec_b.max()) <= 1
+    dets = rtdetr_postprocess(dec_b, dec_s, img_size=128)
+    assert dets.shape == (1, 20, 6)
+    assert np.isfinite(np.asarray(dets)).all()
