@@ -87,19 +87,23 @@ def task_aligned_assign(
     align_metric = bbox_scores**alpha * overlaps**beta
 
     # --- top-k per GT ------------------------------------------------------
+    # threshold formulation instead of scattering top-k indices into a
+    # (B, M, k, A) one-hot: an anchor is a candidate iff its metric reaches
+    # the GT's k-th largest metric. Equivalent up to exact float ties, and
+    # keeps the compiled graph O(B·M·A) (the one-hot expansion stalled the
+    # axon TPU compiler at M ≥ 16).
     k = min(topk, a)
-    topk_metrics, topk_idxs = jax.lax.top_k(align_metric, k)  # (B, M, k)
-    topk_valid = (topk_metrics > eps) & (mask_gt[..., None] > 0)
-    onehot = jax.nn.one_hot(topk_idxs, a, dtype=align_metric.dtype)  # (B, M, k, A)
-    count = (onehot * topk_valid[..., None]).sum(axis=-2)  # (B, M, A)
-    mask_topk = jnp.where(count > 1, 0.0, count)
+    topk_metrics, _ = jax.lax.top_k(align_metric, k)  # (B, M, k)
+    kth = topk_metrics[..., -1:]  # (B, M, 1)
+    mask_topk = ((align_metric >= kth) & (align_metric > eps)).astype(align_metric.dtype)
     mask_pos = mask_topk * valid  # (B, M, A)
 
     # --- resolve anchors claimed by multiple GTs: keep max overlap ---------
     fg_counts = mask_pos.sum(axis=-2)  # (B, A)
     max_overlap_gt = jnp.argmax(overlaps, axis=1)  # (B, A)
-    is_max = jax.nn.one_hot(max_overlap_gt, m, dtype=mask_pos.dtype)  # (B, A, M)
-    is_max = jnp.swapaxes(is_max, 1, 2)  # (B, M, A)
+    is_max = (
+        jnp.arange(m)[None, :, None] == max_overlap_gt[:, None, :]
+    ).astype(mask_pos.dtype)  # (B, M, A) via broadcast compare (no one-hot)
     mask_pos = jnp.where((fg_counts[:, None, :] > 1), is_max, mask_pos)
     fg_mask = mask_pos.sum(axis=-2) > 0  # (B, A)
     target_gt_idx = jnp.argmax(mask_pos, axis=-2)  # (B, A)
