@@ -75,3 +75,28 @@ def test_val_loader_keeps_metadata(shapes_root):
     batch = next(iter(dl))
     assert "labels" in batch
     assert "ratio_pad" in batch["labels"][0]
+
+
+def test_multi_scale_and_rect_buckets():
+    from yolo_dbl_tpu.data.rect import (
+        multi_scale_sizes,
+        rect_group_indices,
+        rect_shapes,
+        resize_batch,
+        sample_scale,
+    )
+
+    sizes = multi_scale_sizes(640, 32)
+    assert all(s % 32 == 0 for s in sizes)
+    assert min(sizes) >= 320 and max(sizes) <= 960
+    rng = np.random.default_rng(0)
+    assert sample_scale(sizes, rng) in sizes
+    img = np.zeros((2, 160, 160, 3), np.float32)
+    assert resize_batch(img, 96).shape == (2, 96, 96, 3)
+
+    ars = [0.5, 0.6, 1.0, 1.8, 2.0, 1.0]
+    shapes = rect_shapes(ars, 640, 32)
+    assert all(h % 32 == 0 and w % 32 == 0 for h, w in shapes)
+    batches = rect_group_indices(ars, 640, batch_size=2)
+    covered = sorted(i for idxs, _ in batches for i in idxs)
+    assert covered == list(range(6))

@@ -103,7 +103,15 @@ class YOLO:
                 train_loader.close_mosaic()
             t0 = time.time()
             running, count = {}, 0
+            if cfg.multi_scale:
+                from ..data.rect import multi_scale_sizes, resize_batch, sample_scale
+
+                ms_sizes = multi_scale_sizes(cfg.imgsz, max(self.model.strides))
+                ms_rng = np.random.default_rng(cfg.seed + epoch)
             for batch in train_loader:
+                if cfg.multi_scale:
+                    batch = dict(batch)
+                    batch["img"] = resize_batch(batch["img"], sample_scale(ms_sizes, ms_rng))
                 metrics = trainer.step({k: batch[k] for k in ("img", "gt_boxes", "gt_cls", "gt_mask")}, rng)
                 count += 1
                 for k, v in metrics.items():

@@ -560,6 +560,33 @@ class DetectionModel:
             feats = feats[0]
         return decode_detections(feats, self.strides, self.nc, self.reg_max)
 
+    def predict_tta(self, variables, x):
+        """Test-time-augmented prediction (reference DetectionModel
+        _predict_augment, tasks.py:361): scales (1, 0.83, 0.67) with flips
+        (none, lr, none), de-scaled and concatenated along anchors. Sizes are
+        stride-aligned so each variant is its own cached compilation."""
+        import jax
+
+        b, h, w, _ = x.shape
+        s = max(self.strides)
+        outs = []
+        for scale, flip in ((1.0, None), (0.83, "lr"), (0.67, None)):
+            nh = int((h * scale) // s * s) or s
+            nw = int((w * scale) // s * s) or s
+            xi = jax.image.resize(x, (b, nh, nw, 3), "linear")
+            if flip == "lr":
+                xi = xi[:, :, ::-1]
+            p = self.predict(variables, xi)  # (B, 4+nc, A)
+            boxes, rest = p[:, :4], p[:, 4:]
+            gx, gy = w / nw, h / nh
+            bx = boxes.at[:, 0].mul(gx).at[:, 2].mul(gx)
+            bx = bx.at[:, 1].mul(gy).at[:, 3].mul(gy)
+            if flip == "lr":
+                bx = bx.at[:, 0].set(w - bx[:, 0])
+            p = jnp.concatenate([bx, rest], axis=1)
+            outs.append(p)
+        return jnp.concatenate(outs, axis=-1)
+
     def info(self, variables=None):
         n_params = (
             sum(p.size for p in jax.tree_util.tree_leaves(variables["params"])) if variables else None
