@@ -100,3 +100,25 @@ def test_multi_scale_and_rect_buckets():
     batches = rect_group_indices(ars, 640, batch_size=2)
     covered = sorted(i for idxs, _ in batches for i in idxs)
     assert covered == list(range(6))
+
+
+def test_visualization_suite(shapes_root, tmp_path):
+    from yolo_dbl_tpu.data.visualize import (
+        TEA_CLASS_NAMES,
+        display_images,
+        image_split,
+        label_image_tea,
+        transform_visualization,
+    )
+
+    ds = YOLODataset(shapes_root, split="train", imgsz=160)
+    demo = transform_visualization(ds, 0, imgsz=160)
+    assert set(demo) == {"original", "mosaic", "hsv", "scale", "fliplr", "mixup"}
+    assert demo["mosaic"].shape[0] == 320
+    display_images(demo, save_path=str(tmp_path / "aug.png"))
+    assert (tmp_path / "aug.png").exists()
+    img = label_image_tea(np.zeros((100, 100, 3), np.uint8), np.array([[0.5, 0.5, 0.4, 0.4]]), [1])
+    assert img.sum() > 0
+    tiles = image_split(np.zeros((100, 100, 3), np.uint8), 2, 2)
+    assert len(tiles) == 4 and tiles[0].shape == (50, 50, 3)
+    assert len(TEA_CLASS_NAMES) == 3
