@@ -105,3 +105,30 @@ def test_giraffe_neck():
     assert p3.shape == (1, 16, 16, 32)
     assert p4.shape == (1, 8, 8, 64)
     assert p5.shape == (1, 4, 4, 128)
+
+
+def test_mobile_batch2():
+    from yolo_dbl_tpu.nn.structures import (
+        MFA,
+        MQA,
+        GGhostStage,
+        RepGhostBottleneck,
+        RepLKBlock,
+    )
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, C))
+    for m, expect in [
+        (MQA(C, num_heads=4, key_dim=16, kv_strides=2), (1, 16, 16, C)),
+        (RepGhostBottleneck(2 * C, C, se_ratio=0.25), (1, 16, 16, C)),
+        (RepGhostBottleneck(2 * C, 2 * C, stride=2), (1, 8, 8, 2 * C)),
+        (RepLKBlock(C, k=13, small_kernel=5), (1, 16, 16, C)),
+        (GGhostStage(C, blocks=3, group_width=16), (1, 16, 16, C)),
+    ]:
+        v = m.init(jax.random.PRNGKey(1), x)
+        out = m.apply(v, x)
+        assert out.shape == expect, type(m).__name__
+        assert np.isfinite(np.asarray(out)).all(), type(m).__name__
+    xs = [jax.random.normal(jax.random.PRNGKey(i), (1, 2 ** (4 - i), 2 ** (4 - i), 16)) for i in range(3)]
+    m = MFA(64, output_resolution=8)
+    v = m.init(jax.random.PRNGKey(5), xs)
+    assert m.apply(v, xs).shape == (1, 8, 8, 64)

@@ -109,6 +109,7 @@ _C2_SCALED = {
     "GhostBottleneckV2", "PatchEmbed", "SwinStage", "PatchMerging", "EffBlock",
     "FasterBlock", "MBConv", "APConv",
     # v7/v9/v10/v11 family (reference tasks.py:1001-1016)
+    "RepGhostBottleneck", "RepLKBlock", "GGhostBottleneck", "GGhostStage",
     "RepConv", "RepCSP", "RepNCSPELAN4", "ELAN1", "ADown", "AConv", "SPPELAN",
     "SCDown", "C2fCIB", "PSA", "C2PSA",
 }
@@ -123,7 +124,7 @@ _C1_ONLY = {
     "CoTNetLayer", "TripletAttention", "EUCB", "MEUM", "DLU", "CARAFE", "CARAFEplusplus", "LDA_AQU",
     # extensions beyond the reference registry (reachable only from test.py
     # there; YAML-reachable here): c1-only by construction
-    "ECALayer", "SimAM", "MLCA", "ScConv", "PConv", "CPCA",
+    "ECALayer", "SimAM", "MLCA", "ScConv", "PConv", "CPCA", "MQA",
 }
 
 
@@ -327,6 +328,12 @@ def _structure_builders():
         "PatchMerging": lambda a, d, n: S.PatchMerging(a[0], a[1], dtype=d, name=n),
         "SwinStage": lambda a, d, n: S.SwinStage(a[0], a[1], *a[2:], dtype=d, name=n),
         "ExtractLayer": lambda a, d, n: S.ExtractLayer(a[0], name=n),
+        "MQA": lambda a, d, n: S.MQA(a[0], *a[1:], dtype=d, name=n),
+        "MFA": lambda a, d, n: S.MFA(a[1] if len(a) > 1 else a[0], *a[2:], dtype=d, name=n),
+        "RepGhostBottleneck": lambda a, d, n: S.RepGhostBottleneck(a[1], a[2] if len(a) > 2 else a[1], *a[3:], dtype=d, name=n),
+        "RepLKBlock": lambda a, d, n: S.RepLKBlock(a[1], *a[2:], dtype=d, name=n),
+        "GGhostBottleneck": lambda a, d, n: S.GGhostBottleneck(a[1], *a[2:], dtype=d, name=n),
+        "GGhostStage": lambda a, d, n: S.GGhostStage(a[1], *a[2:], dtype=d, name=n),
         "GiraffeNeckV2": lambda a, d, n: S.GiraffeNeckV2(
             tuple(a[0]), tuple(a[1]) if len(a) > 1 and isinstance(a[1], (list, tuple)) else tuple(a[0]),
             *a[2:], dtype=d, name=n,
