@@ -147,3 +147,29 @@ def test_batch3_modules():
         out = m.apply(v, x)
         assert out.shape == expect, type(m).__name__
         assert np.isfinite(np.asarray(out)).all(), type(m).__name__
+
+
+def test_haar_wavelet_roundtrip():
+    from yolo_dbl_tpu.nn.upsample.pig import inverse_wavelet_transform, wavelet_transform
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 3))
+    sub = wavelet_transform(x)
+    assert sub.shape == (2, 4, 4, 3, 4)
+    rec = inverse_wavelet_transform(sub)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=1e-5)
+    # LL subband of a constant image is 2x the constant (orthonormal Haar), others 0
+    const = jnp.full((1, 4, 4, 1), 3.0)
+    s = wavelet_transform(const)
+    np.testing.assert_allclose(np.asarray(s[..., 0]), 6.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s[..., 1:]), 0.0, atol=1e-5)
+
+
+def test_pig_family():
+    from yolo_dbl_tpu.nn.upsample.pig import C2f_PIG, C2f_WT, InceptionDWConv2d, WTConv2d
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, C))
+    for m in [WTConv2d(C), InceptionDWConv2d(C), C2f_PIG(C, n=1), C2f_WT(C, n=1)]:
+        v = m.init(jax.random.PRNGKey(1), x)
+        out = m.apply(v, x)
+        assert out.shape == x.shape, type(m).__name__
+        assert np.isfinite(np.asarray(out)).all(), type(m).__name__

@@ -103,7 +103,7 @@ _C2_SCALED = {
     # attention/backbone modules the reference registers with (c1, c2) args
     # (tasks.py:1030-1045): CoordAttention, GAM, MHSA_YOLO, EfficientAttention_YOLO
     "CoordAttention", "GAM", "MHSA_YOLO", "EfficientAttention_YOLO",
-    "FEM", "C3k2_EFE", "SPDConv", "PSAModule", "CPCA_YOLO", "SwinTransformer", "Outlooker_YOLO", "M2C2f", "C3k2_EAMC",
+    "FEM", "C3k2_EFE", "SPDConv", "PSAModule", "CPCA_YOLO", "SwinTransformer", "Outlooker_YOLO", "M2C2f", "C3k2_EAMC", "C2f_PIG", "C2f_WT",
     # structures family registered with (c1, c2) in the reference (tasks.py:1036-1046)
     "UIB", "RepViTBlock", "GhostModuleV3", "GhostBottleneckV3", "GhostModuleV2",
     "GhostBottleneckV2", "PatchEmbed", "SwinStage", "PatchMerging", "EffBlock",
@@ -295,6 +295,8 @@ def _upsample_builders():
         "Multibranch": lambda a, d, n: U.Multibranch(a[0], *a[1:], dtype=d, name=n),
         "FFM_Concat2": lambda a, d, n: U.FFM_Concat2(a[0], a[1], a[2], dtype=d, name=n),
         "M2C2f": lambda a, d, n: U.M2C2f(a[1], *a[2:], dtype=d, name=n),
+        "C2f_PIG": lambda a, d, n: U.C2f_PIG(a[1], *a[2:], dtype=d, name=n),
+        "C2f_WT": lambda a, d, n: U.C2f_WT(a[1], *a[2:], dtype=d, name=n),
         "C3k2_EAMC": lambda a, d, n: U.C3k2_EAMC(a[1], *a[2:], dtype=d, name=n),
         "CARAFEplusplus": lambda a, d, n: U.CARAFEplusplus(a[0], *a[1:], dtype=d, name=n),
         "LDA_AQU": lambda a, d, n: U.LDA_AQU(a[0], *a[1:], dtype=d, name=n),
