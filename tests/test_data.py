@@ -122,3 +122,35 @@ def test_visualization_suite(shapes_root, tmp_path):
     tiles = image_split(np.zeros((100, 100, 3), np.uint8), 2, 2)
     assert len(tiles) == 4 and tiles[0].shape == (50, 50, 3)
     assert len(TEA_CLASS_NAMES) == 3
+
+
+def test_inference_loaders(shapes_root, tmp_path):
+    import cv2
+
+    from yolo_dbl_tpu.data.loaders import (
+        LoadImagesAndVideos,
+        LoadPilAndNumpy,
+        LoadTensor,
+        load_inference_source,
+    )
+
+    img_dir = shapes_root / "images" / "train"
+    loader = LoadImagesAndVideos(img_dir)
+    items = list(loader)
+    assert len(items) == 8
+    path, frame = items[0]
+    assert frame.ndim == 3 and frame.shape[2] == 3
+
+    # tiny video
+    vid = tmp_path / "clip.mp4"
+    wr = cv2.VideoWriter(str(vid), cv2.VideoWriter_fourcc(*"mp4v"), 5, (64, 64))
+    for _ in range(6):
+        wr.write(np.zeros((64, 64, 3), np.uint8))
+    wr.release()
+    frames = list(LoadImagesAndVideos(vid, vid_stride=2))
+    assert len(frames) == 3
+
+    arr = np.zeros((2, 32, 32, 3), np.uint8)
+    assert len(list(LoadTensor(arr))) == 2
+    assert len(list(LoadPilAndNumpy([arr[0], arr[1]]))) == 2
+    assert isinstance(load_inference_source(str(img_dir)), LoadImagesAndVideos)
