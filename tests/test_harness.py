@@ -134,3 +134,24 @@ def test_conf_matrix_plot(tmp_path):
     mat = np.array([[5, 1, 0], [0, 4, 1], [1, 0, 3]])
     replot_conf_matrix(mat, names=["a", "b"], save_path=str(tmp_path / "cm.png"))
     assert (tmp_path / "cm.png").exists()
+
+
+def test_grad_accumulation_multisteps():
+    """With grad_accumulate, params move only every nbs/batch steps."""
+    import optax
+    from yolo_dbl_tpu.cfg import get_cfg
+    from yolo_dbl_tpu.engine.train_state import build_optimizer
+
+    params = {"w": jnp.ones((4,))}
+    cfg = get_cfg(overrides={"batch": 16, "optimizer": "SGD", "grad_accumulate": True, "epochs": 2})
+    tx, _ = build_optimizer(params, 3, cfg, steps_per_epoch=10)
+    state = tx.init(params)
+    g = {"w": jnp.ones((4,))}
+    p = params
+    steps = []
+    for i in range(8):  # accumulate = 64/16 = 4
+        upd, state = tx.update(g, state, p)
+        p = optax.apply_updates(p, upd)
+        steps.append(int(state.gradient_step))
+    # the inner optimizer steps once per 4 micro-steps
+    assert steps == [0, 0, 0, 1, 1, 1, 1, 2]

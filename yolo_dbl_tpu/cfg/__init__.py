@@ -27,7 +27,7 @@ _INT_KEYS = {"epochs", "patience", "workers", "seed", "close_mosaic", "max_det",
 _BOOL_KEYS = {
     "save", "cache", "exist_ok", "pretrained", "verbose", "deterministic", "single_cls",
     "rect", "cos_lr", "resume", "amp", "profile", "multi_scale", "val", "save_json",
-    "half", "plots", "augment", "agnostic_nms", "dynamic", "simplify", "nms",
+    "half", "plots", "augment", "grad_accumulate", "agnostic_nms", "dynamic", "simplify", "nms",
 }
 
 

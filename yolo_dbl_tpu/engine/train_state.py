@@ -127,6 +127,11 @@ def build_optimizer(
         )
     else:
         raise ValueError(f"unknown optimizer '{name}'")
+    if getattr(cfg, "grad_accumulate", False) and accumulate > 1:
+        # reference nbs=64 gradient accumulation (trainer.py:369): micro-batch
+        # gradients accumulate and the optimizer steps every `accumulate`
+        # calls. Off by default on TPU — the mesh usually absorbs the batch.
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate)
     return tx, schedule
 
 
