@@ -77,6 +77,8 @@ SPATIAL_MODULES = [
     A.MHSA(C, num_heads=4),
     A.BoTAttention(C, heads=4, dim_head=16),
     A.EdgeAwareAttention(C),
+    A.EdgeAwareAttentionV2(C),
+    A.EdgeAwareAttentionV2(C, alpha_mode="map"),
 ]
 
 
@@ -85,6 +87,22 @@ def test_spatial_attention_shapes(module):
     out, x = _run(module)
     assert out.shape == X_SHAPE
     assert np.isfinite(out).all()
+
+
+def test_edge_aware_v2_properties():
+    """V2: kernel bank inits to the named operators; gains only amplify."""
+    x = jax.random.normal(jax.random.PRNGKey(0), X_SHAPE)
+    m = A.EdgeAwareAttentionV2(C)
+    v = m.init(jax.random.PRNGKey(1), x)
+    kx = np.asarray(v["params"]["kx"])
+    assert kx.shape == (3, 3, 3)
+    np.testing.assert_allclose(kx[0], np.array([[1, 0, -1], [2, 0, -2], [1, 0, -1]]) / 4.0)
+    out = np.asarray(m.apply(v, x))
+    # (1 + alpha*s) and (1 + beta*c) are both > 1 -> magnitude never shrinks
+    assert (np.abs(out) >= np.abs(np.asarray(x)) - 1e-6).all()
+    # edge kernels are learnable: gradient reaches the bank
+    g = jax.grad(lambda p: m.apply({"params": p}, x).sum())(v["params"])
+    assert np.abs(np.asarray(g["kx"])).sum() > 0
 
 
 def test_hilo_odd_input_padding():

@@ -21,6 +21,7 @@ from .sla import SLA, sparse_linear_attention
 from .spatial import (
     BoTAttention,
     EdgeAwareAttention,
+    EdgeAwareAttentionV2,
     EfficientAttention,
     FullyAttentionalBlock,
     HiLo,
@@ -63,6 +64,7 @@ __all__ = [
     "sparse_linear_attention",
     "BoTAttention",
     "EdgeAwareAttention",
+    "EdgeAwareAttentionV2",
     "EfficientAttention",
     "FullyAttentionalBlock",
     "HiLo",

@@ -289,3 +289,139 @@ class EdgeAwareAttention(nn.Module):
         s = nn.sigmoid(Conv2d(1, self.ksize, p=self.ksize // 2, dtype=self.dtype, name="spatial")(s_in))
         s = Conv2d(1, 1, dtype=self.dtype, name="s_gain")(s)
         return x * (1 + cgate) * (1 + s)
+
+
+_EDGE_KERNELS = {
+    "sobel": (
+        [[1, 0, -1], [2, 0, -2], [1, 0, -1]],
+        [[1, 2, 1], [0, 0, 0], [-1, -2, -1]],
+        4.0,
+    ),
+    "scharr": (
+        [[3, 0, -3], [10, 0, -10], [3, 0, -3]],
+        [[3, 10, 3], [0, 0, 0], [-3, -10, -3]],
+        16.0,
+    ),
+    "prewitt": (
+        [[1, 0, -1], [1, 0, -1], [1, 0, -1]],
+        [[1, 1, 1], [0, 0, 0], [-1, -1, -1]],
+        3.0,
+    ),
+    "log": (
+        [[0, 1, 0], [1, -4, 1], [0, 1, 0]],
+        [[0, 1, 0], [1, -4, 1], [0, 1, 0]],
+        1.0,
+    ),
+    "kirsch": (
+        [[-3, -3, 5], [-3, 0, 5], [-3, -3, 5]],
+        [[-3, -3, -3], [-3, 0, -3], [5, 5, 5]],
+        1.0,
+    ),
+    "prewitt_alt": (
+        [[1, 1, 1], [0, 0, 0], [-1, -1, -1]],
+        [[1, 0, -1], [1, 0, -1], [1, 0, -1]],
+        1.0,
+    ),
+    "sobel_alt": (
+        [[1, 2, 1], [0, 0, 0], [-1, -2, -1]],
+        [[1, 0, -1], [2, 0, -2], [1, 0, -1]],
+        1.0,
+    ),
+}
+
+
+class EdgeAwareAttentionV2(nn.Module):
+    """Multi-operator edge-prior attention (reference MyAttention/EdgeAware.py:76).
+
+    Upgrades over V1: a bank of learnable 3x3 edge kernels
+    (Sobel/Scharr/Prewitt by default) normalized to zero-mean / unit-L1,
+    Charbonnier edge magnitude, a softmax gate over the kernel bank driven by
+    per-operator global response, and adaptive gains — alpha (per-image
+    scalar or per-pixel map, softplus) on the spatial gate and beta
+    (per-channel, softplus) on the channel gate:
+    ``y = x * (1 + alpha*s) * (1 + beta*c)``.
+
+    TPU mapping: the whole N-kernel bank runs as ONE depthwise conv with
+    C*N output features (feature_group_count=C), so XLA lowers it to a single
+    fused convolution rather than N small ones.
+    """
+
+    in_channels: int
+    reduction: int = 16
+    ksize: int = 7
+    kernel_bank: tuple = ("sobel", "scharr", "prewitt")
+    charbonnier_eps: float = 1e-3
+    alpha_mode: str = "scalar"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        assert self.alpha_mode in ("scalar", "map")
+        b, h, w, c = x.shape
+        n = len(self.kernel_bank)
+
+        def init_bank(idx):
+            def init(key):
+                rows = []
+                for name in self.kernel_bank:
+                    spec = _EDGE_KERNELS[name.lower()]
+                    rows.append(jnp.asarray(spec[idx], jnp.float32) / spec[2])
+                return jnp.stack(rows)  # (N, 3, 3)
+
+            return init
+
+        kx = self.param("kx", lambda k: init_bank(0)(k))
+        ky = self.param("ky", lambda k: init_bank(1)(k))
+
+        def normalize(kern):  # zero-mean + L1-normalize per kernel
+            kern = kern - kern.mean(axis=(1, 2), keepdims=True)
+            l1 = jnp.clip(jnp.abs(kern).sum(axis=(1, 2), keepdims=True), 1e-6)
+            return kern / l1
+
+        def edge_conv(kern):
+            # HWIO depthwise with C groups x N kernels: out feature c*N + k_i
+            hwio = jnp.tile(jnp.transpose(normalize(kern), (1, 2, 0))[:, :, None, :], (1, 1, 1, c))
+            return jax.lax.conv_general_dilated(
+                x.astype(jnp.float32), hwio, (1, 1), [(1, 1), (1, 1)],
+                feature_group_count=c,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ).reshape(b, h, w, c, n)
+
+        gx, gy = edge_conv(kx), edge_conv(ky)
+        g_bank = jnp.sqrt(gx * gx + gy * gy + self.charbonnier_eps**2)  # (B,H,W,C,N)
+
+        # dynamic kernel selection from per-operator global response
+        gate_desc = g_bank.mean(axis=(1, 2, 3)).astype(x.dtype)  # (B, N)
+        gate_h = max(8, 2 * n)
+        gw = nn.Dense(gate_h, dtype=self.dtype, name="gate_fc1")(gate_desc)
+        gw = nn.Dense(n, dtype=self.dtype, name="gate_fc2")(nn.relu(gw))
+        gate = jax.nn.softmax(gw, axis=-1)[:, None, None, None, :]
+        g = (g_bank * gate.astype(g_bank.dtype)).sum(axis=-1).astype(x.dtype)  # (B,H,W,C)
+
+        # channel attention from edge statistics
+        hidden = max(8, c // self.reduction)
+        c_vec = g.mean(axis=(1, 2))  # (B, C)
+        cw = nn.Dense(hidden, use_bias=False, dtype=self.dtype, name="mlp_fc1")(c_vec)
+        cw = nn.Dense(c, use_bias=False, dtype=self.dtype, name="mlp_fc2")(nn.relu(cw))
+        cgate = nn.sigmoid(cw)[:, None, None, :]
+
+        # spatial attention over (avg_x, max_x, avg_g, max_g)
+        s_in = jnp.concatenate(
+            [x.mean(-1, keepdims=True), x.max(-1, keepdims=True),
+             g.mean(-1, keepdims=True), g.max(-1, keepdims=True)], axis=-1,
+        )
+        s = nn.sigmoid(Conv2d(1, self.ksize, p=self.ksize // 2, dtype=self.dtype, name="spatial")(s_in))
+
+        # adaptive gains
+        if self.alpha_mode == "scalar":
+            stats = jnp.stack([g.mean(axis=(1, 2, 3)), g.max(axis=(1, 2, 3))], axis=1)
+            a = nn.Dense(16, dtype=self.dtype, name="alpha_fc1")(stats)
+            a = nn.Dense(1, dtype=self.dtype, name="alpha_fc2")(nn.relu(a))
+            alpha = jax.nn.softplus(a)[:, :, None, None]  # (B,1,1,1)
+        else:
+            alpha = jax.nn.softplus(Conv2d(1, 1, dtype=self.dtype, name="alpha_conv")(s_in))
+        bw = nn.Dense(hidden, use_bias=False, dtype=self.dtype, name="beta_fc1")(c_vec)
+        bw = nn.Dense(c, use_bias=False, dtype=self.dtype, name="beta_fc2")(nn.relu(bw))
+        beta = jax.nn.softplus(bw)[:, None, None, :]  # (B,1,1,C)
+
+        return x * (1 + alpha * s) * (1 + beta * cgate)

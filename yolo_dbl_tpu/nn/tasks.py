@@ -251,6 +251,7 @@ def _attention_builders():
         "MHSA_YOLO": lambda a, d, n: A.MHSA(a[0], *a[1:], dtype=d, name=n),
         "BoTAttention": lambda a, d, n: A.BoTAttention(a[0], *a[1:], dtype=d, name=n),
         "EdgeAwareAttention": lambda a, d, n: A.EdgeAwareAttention(a[0], *a[1:], dtype=d, name=n),
+        "EdgeAwareAttentionV2": lambda a, d, n: A.EdgeAwareAttentionV2(a[0], *a[1:], dtype=d, name=n),
         # reference wrapper: EfficientAttention_YOLO(c1, c2, head_count=8, key_channels=64)
         "SLA": lambda a, d, n: A.SLA(a[0], *a[1:], dtype=d, name=n),
         "BiFormerNCHW": lambda a, d, n: A.BiFormerNCHW(a[0], *a[1:], dtype=d, name=n),
