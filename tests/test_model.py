@@ -53,6 +53,7 @@ def test_param_parity_with_reference_counts():
         ("yolov3.yaml", 80): 103754144,
         ("yolov12n.yaml", 80): 2572336,
         ("yolov12s.yaml", 80): 9164288,
+        ("yolov6n.yaml", 80): 4500080,
     }
     for (name, nc), ref in golden.items():
         m = DetectionModel(name, nc=nc)
@@ -81,6 +82,34 @@ def test_forward_shapes_tiny():
     assert pred.shape == (1, 7, 8 * 8 + 4 * 4 + 2 * 2)
     # decoded boxes are finite and within a sane multiple of the image
     assert bool(jnp.isfinite(pred).all())
+
+
+def test_yolov6_forward_and_relu_override():
+    """v6: ConvTranspose2d head executes; `activation: nn.ReLU()` reaches
+    every Conv in the trace (first conv output is non-negative)."""
+    m = DetectionModel("yolov6n.yaml", nc=80)
+    assert m.yaml.get("activation") == "nn.ReLU()"
+    v = m.init(jax.random.PRNGKey(0), imgsz=64)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    feats = m.apply(v, x)
+    assert [f.shape for f in feats] == [(1, 8, 8, 144), (1, 4, 4, 144), (1, 2, 2, 144)]
+    from yolo_dbl_tpu.harness.features import extract_features
+
+    f0 = extract_features(m, v, x, layer_indices=[0])
+    (first,) = [val for k, val in f0.items() if k.startswith("m0")]
+    assert float(np.min(first)) >= 0.0  # ReLU, not SiLU
+
+
+def test_conv_transpose2d_shapes():
+    """Torch nn.ConvTranspose2d formula: out = (in-1)*s - 2p + k."""
+    from yolo_dbl_tpu.nn.common import ConvTranspose2d
+
+    for k, s, p in [(2, 2, 0), (4, 2, 1), (3, 2, 1), (3, 1, 1), (2, 3, 0)]:
+        mod = ConvTranspose2d(8, k, s, p)
+        x = jnp.zeros((1, 5, 7, 4))
+        y = mod.apply(mod.init(jax.random.PRNGKey(0), x), x)
+        want = lambda n: (n - 1) * s - 2 * p + k
+        assert y.shape == (1, want(5), want(7), 8), (k, s, p, y.shape)
 
 
 def test_batchnorm_updates_in_train_mode():

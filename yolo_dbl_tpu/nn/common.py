@@ -17,6 +17,7 @@ TPU-native equivalents of the reference's nn/modules/conv.py primitives
 from __future__ import annotations
 
 import math
+from contextlib import contextmanager
 from typing import Any, Callable, Optional, Sequence, Union
 
 import flax.linen as nn
@@ -39,6 +40,48 @@ def autopad(k, p=None, d=1):
 
 def _pair(x):
     return (x, x) if isinstance(x, int) else tuple(x)
+
+
+# Global default activation, overridable by a model YAML's `activation:` key
+# (reference tasks.py:965 `Conv.default_act = eval(act)`). A one-slot stack so
+# YOLOModel can scope the override to its own trace.
+_DEFAULT_ACT = [nn.silu]
+
+_ACT_NAMES = {
+    "nn.SiLU()": nn.silu,
+    "nn.ReLU()": nn.relu,
+    "nn.ReLU6()": lambda x: jnp.clip(nn.relu(x), 0.0, 6.0),
+    "nn.LeakyReLU()": lambda x: nn.leaky_relu(x, 0.01),
+    "nn.LeakyReLU(0.1)": lambda x: nn.leaky_relu(x, 0.1),
+    "nn.GELU()": nn.gelu,
+    "nn.Hardswish()": lambda x: x * jnp.clip(x + 3.0, 0.0, 6.0) / 6.0,
+    "nn.Mish()": lambda x: x * jnp.tanh(nn.softplus(x)),
+    "nn.Identity()": lambda x: x,
+}
+
+
+def resolve_act(name: str) -> Callable:
+    """Map a torch-style activation string from YAML to a jax function."""
+    if name not in _ACT_NAMES:
+        raise ValueError(f"unsupported activation '{name}'; known: {sorted(_ACT_NAMES)}")
+    return _ACT_NAMES[name]
+
+
+def default_act() -> Callable:
+    return _DEFAULT_ACT[-1]
+
+
+@contextmanager
+def default_act_ctx(fn: Optional[Callable]):
+    """Scope a default-activation override to one model trace."""
+    if fn is None:
+        yield
+        return
+    _DEFAULT_ACT.append(fn)
+    try:
+        yield
+    finally:
+        _DEFAULT_ACT.pop()
 
 
 def _pad_spec(p):
@@ -88,10 +131,40 @@ class Conv(nn.Module):
             name="bn",
         )(x)
         if self.act is True:
-            x = nn.silu(x)
+            x = default_act()(x)
         elif callable(self.act):
             x = self.act(x)
         return x
+
+
+class ConvTranspose2d(nn.Module):
+    """Plain transposed conv with torch nn.ConvTranspose2d semantics
+    (out = (in-1)*s - 2p + k), used by the v6 head's upsample path
+    (reference cfg/models/v6/yolov6.yaml:34, registered at tasks.py:1007).
+    Bias, no BN/act — it is the raw torch layer, not ultralytics ConvTranspose.
+    """
+
+    c2: int
+    k: int = 2
+    s: int = 2
+    p: int = 0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = nn.ConvTranspose(
+            features=self.c2,
+            kernel_size=_pair(self.k),
+            strides=_pair(self.s),
+            padding="VALID",
+            use_bias=True,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        # crop flax's VALID output to the torch formula (in-1)*s - 2p + k
+        oh = (x.shape[1] - 1) * self.s + self.k - 2 * self.p
+        ow = (x.shape[2] - 1) * self.s + self.k - 2 * self.p
+        return y[:, self.p:self.p + oh, self.p:self.p + ow, :]
 
 
 class DWConv(nn.Module):

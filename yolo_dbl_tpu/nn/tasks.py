@@ -32,7 +32,7 @@ import yaml
 
 from ..ops.resample import nearest_upsample
 from . import blocks as B
-from .common import Conv, DSConv, DWConv
+from .common import Conv, ConvTranspose2d, DSConv, DWConv, default_act_ctx, resolve_act
 from .heads import Detect, decode_detections
 
 Dtype = Any
@@ -210,6 +210,13 @@ def parse_model_spec(d: Dict, ch: int = 3, verbose: bool = False) -> ModelSpec:
             if c2 != nc:
                 c2 = make_divisible(min(c2, max_channels) * width, 8)
             args = [c1, c2, *args[1:]]
+        elif m in ("nn.ConvTranspose2d", "ConvTranspose2d"):
+            # raw torch transposed conv, c2-scaled (reference tasks.py:1007)
+            m = "ConvTranspose2d"
+            c1, c2 = chs[f], args[0]
+            if c2 != nc:
+                c2 = make_divisible(min(c2, max_channels) * width, 8)
+            args = [c1, c2, *args[1:]]
         elif m == "nn.Upsample" or m == "Upsample":
             m = "Upsample"
             c2 = chs[f]
@@ -379,6 +386,8 @@ def _build_module(spec: LayerSpec, dtype) -> Optional[Any]:
             return Conv(*a[1:], dtype=dtype, name=name)
         if m == "DWConv":
             return DWConv(*a[1:], dtype=dtype, name=name)
+        if m == "ConvTranspose2d":
+            return ConvTranspose2d(*a[1:], dtype=dtype, name=name)
         if m == "DSConv":
             return DSConv(*a[1:], dtype=dtype, name=name)
         if m == "Bottleneck":
@@ -474,6 +483,13 @@ class YOLOModel(nn.Module):
         self._mods = mods
 
     def __call__(self, x, train: bool = False):
+        # yaml `activation:` overrides the Conv default for this whole trace
+        # (reference tasks.py:965 Conv.default_act = eval(act))
+        act = self.spec.yaml_dict.get("activation")
+        with default_act_ctx(resolve_act(act) if act else None):
+            return self._forward(x, train)
+
+    def _forward(self, x, train: bool = False):
         y: List[Optional[jnp.ndarray]] = []
         out = x
         for layer in self.spec.layers:
