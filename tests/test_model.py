@@ -96,8 +96,24 @@ def test_yolov6_forward_and_relu_override():
     from yolo_dbl_tpu.harness.features import extract_features
 
     f0 = extract_features(m, v, x, layer_indices=[0])
-    (first,) = [val for k, val in f0.items() if k.startswith("m0")]
-    assert float(np.min(first)) >= 0.0  # ReLU, not SiLU
+    assert float(np.min(f0["m0"])) >= 0.0  # ReLU, not SiLU
+    assert float(np.min(f0["m0/bn"])) < 0.0  # pre-activation goes negative
+
+
+def test_yolov7_builds_and_decodes():
+    """v7 (MP/SPPCSPC/IDetect) builds; trunk params match the official count
+    (37620125 + 2557 unfused implicit ia/im params); anchor decode is sane."""
+    m = DetectionModel("yolov7.yaml", nc=80)
+    assert m.head_name == "IDetect" and m.strides == (8, 16, 32)
+    assert count_params(m) == 37620125 + 2557
+    v = m.init(jax.random.PRNGKey(0), imgsz=64)
+    feats = m.apply(v, jnp.zeros((1, 64, 64, 3)))
+    assert [f.shape for f in feats] == [(1, 8, 8, 3, 85), (1, 4, 4, 3, 85), (1, 2, 2, 3, 85)]
+    pred = m.predict(v, jnp.zeros((1, 64, 64, 3)))
+    assert pred.shape == (1, 84, 3 * (64 + 16 + 4))
+    assert bool(jnp.isfinite(pred).all())
+    # scores are probabilities (obj * cls of sigmoids)
+    assert float(pred[:, 4:].min()) >= 0.0 and float(pred[:, 4:].max()) <= 1.0
 
 
 def test_conv_transpose2d_shapes():

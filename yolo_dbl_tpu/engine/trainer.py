@@ -96,6 +96,11 @@ class Trainer:
         )
         self.state = create_train_state(variables, self.tx)
         step = make_train_step(self.model, self.cfg, self.tx)
+        # Buffer donation of the TrainState halves peak HBM, but the axon TPU
+        # plugin miscompiles donated train steps once the GT pad dimension is
+        # >=16 (runtime INVALID_ARGUMENT; bisected 2026-08-16: identical step
+        # passes without donation). Donate everywhere else.
+        donate = (0,) if jax.default_backend() != "axon" else ()
         if self.mesh is not None:
             data_sharding = NamedSharding(self.mesh, P("data"))
             repl = NamedSharding(self.mesh, P())
@@ -106,11 +111,11 @@ class Trainer:
             self._step_fn = jax.jit(
                 step,
                 in_shardings=(None, batch_shardings, repl),
-                donate_argnums=(0,),
+                donate_argnums=donate,
             )
             self.state = jax.device_put(self.state, repl)
         else:
-            self._step_fn = jax.jit(step, donate_argnums=(0,))
+            self._step_fn = jax.jit(step, donate_argnums=donate)
         return self
 
     def shard_batch(self, batch: Dict) -> Dict:

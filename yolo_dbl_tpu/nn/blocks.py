@@ -157,6 +157,32 @@ class SPPF(nn.Module):
         return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, -1), train)
 
 
+class SPPCSPC(nn.Module):
+    """YOLOv7 CSP spatial pyramid pooling (cfg/models/v7/yolov7.yaml head; the
+    torch reference ships the yaml display-only without this module — we
+    implement it so v7 actually runs). Two branches: cv1→cv3→cv4 then
+    parallel maxpools (5,9,13) → cv5→cv6, shortcut cv2; merged by cv7.
+    """
+
+    c2: int
+    e: float = 0.5
+    k: tuple = (5, 9, 13)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(2 * self.c2 * self.e)
+        x1 = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        x1 = Conv(c_, 3, 1, dtype=self.dtype, name="cv3")(x1, train)
+        x1 = Conv(c_, 1, 1, dtype=self.dtype, name="cv4")(x1, train)
+        pools = [x1] + [max_pool(x1, k, 1, k // 2) for k in self.k]
+        y1 = Conv(c_, 1, 1, dtype=self.dtype, name="cv5")(jnp.concatenate(pools, -1), train)
+        y1 = Conv(c_, 3, 1, dtype=self.dtype, name="cv6")(y1, train)
+        y2 = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv7")(
+            jnp.concatenate([y1, y2], -1), train)
+
+
 class DSBottleneck(nn.Module):
     """Depthwise-separable bottleneck (reference block.py:1408): DSConv k1 → DSConv k2 (dilated)."""
 

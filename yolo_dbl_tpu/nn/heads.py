@@ -240,6 +240,55 @@ def dfl_expectation(box_logits, reg_max=16):
     return (jax.nn.softmax(x, axis=-1) * proj).sum(-1)
 
 
+class IDetect(nn.Module):
+    """YOLOv7 anchor-based head with implicit knowledge layers
+    (cfg/models/v7/yolov7.yaml tail; the torch reference ships the v7 yaml
+    display-only without this head — implemented here so v7 runs). Per
+    level: y = (conv(x + implicit_a)) * implicit_m, reshaped to
+    (B, H, W, na, 5+nc). ImplicitA inits N(0, .02), ImplicitM N(1, .02).
+    """
+
+    nc: int
+    anchors: tuple  # nl tuples of 2*na flat (w, h) pairs, in pixels
+    ch: tuple
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        na = len(self.anchors[0]) // 2
+        no = self.nc + 5
+        outs = []
+        for i, x in enumerate(feats):
+            ia = self.param(f"ia{i}", nn.initializers.normal(0.02), (1, 1, 1, self.ch[i]))
+            im = self.param(
+                f"im{i}",
+                lambda k, s: 1.0 + jax.random.normal(k, s) * 0.02,
+                (1, 1, 1, na * no),
+            )
+            y = nn.Conv(na * no, (1, 1), dtype=self.dtype, name=f"m{i}")(x + ia) * im
+            b, h, w, _ = y.shape
+            outs.append(y.reshape(b, h, w, na, no))
+        return outs
+
+
+def decode_v7(feats, strides, anchors, nc):
+    """Decode IDetect maps to (B, 4+nc, A): xy = (2σ-0.5+grid)·stride,
+    wh = (2σ)²·anchor, score = σ(obj)·σ(cls) (yolov7 IDetect inference)."""
+    b = feats[0].shape[0]
+    rows = []
+    for x, s, anc in zip(feats, strides, anchors):
+        _, h, w, na, no = x.shape
+        sig = jax.nn.sigmoid(x.astype(jnp.float32))
+        gx, gy = jnp.meshgrid(jnp.arange(w, dtype=jnp.float32), jnp.arange(h, dtype=jnp.float32))
+        grid = jnp.stack([gx, gy], -1)[None, :, :, None, :]  # (1,H,W,1,2)
+        awh = jnp.asarray(anc, jnp.float32).reshape(na, 2)[None, None, None]
+        xy = (sig[..., :2] * 2.0 - 0.5 + grid) * s
+        wh = (sig[..., 2:4] * 2.0) ** 2 * awh
+        score = sig[..., 5:] * sig[..., 4:5]
+        rows.append(jnp.concatenate([xy, wh, score], -1).reshape(b, -1, 4 + nc))
+    return jnp.concatenate(rows, axis=1).swapaxes(-1, -2)  # (B, 4+nc, A)
+
+
 def flatten_levels(feats):
     """Flatten per-level NHWC maps to (B, A, C) tokens, concatenated over levels."""
     b = feats[0].shape[0]

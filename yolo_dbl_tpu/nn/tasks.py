@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import yaml
 
-from ..ops.resample import nearest_upsample
+from ..ops.resample import max_pool, nearest_upsample
 from . import blocks as B
 from .common import Conv, ConvTranspose2d, DSConv, DWConv, default_act_ctx, resolve_act
 from .heads import Detect, decode_detections
@@ -148,6 +148,8 @@ def parse_model_spec(d: Dict, ch: int = 3, verbose: bool = False) -> ModelSpec:
         for j, a in enumerate(args):
             if isinstance(a, str) and a == "nc":
                 args[j] = nc
+            elif isinstance(a, str) and a == "anchors":
+                args[j] = d.get("anchors")
         n_ = n
         n = max(round(n * depth), 1) if n > 1 else n
 
@@ -210,6 +212,16 @@ def parse_model_spec(d: Dict, ch: int = 3, verbose: bool = False) -> ModelSpec:
             if c2 != nc:
                 c2 = make_divisible(min(c2, max_channels) * width, 8)
             args = [c1, c2, *args[1:]]
+        elif m in ("MP", "SP"):
+            c2 = chs[f]  # parameter-free maxpool (yolov7)
+        elif m == "SPPCSPC":
+            c1, c2 = chs[f], args[0]
+            if c2 != nc:
+                c2 = make_divisible(min(c2, max_channels) * width, 8)
+            args = [c1, c2, *args[1:]]
+        elif m == "IDetect":
+            args.append([chs[x] for x in f])
+            c2 = 0
         elif m in ("nn.ConvTranspose2d", "ConvTranspose2d"):
             # raw torch transposed conv, c2-scaled (reference tasks.py:1007)
             m = "ConvTranspose2d"
@@ -411,6 +423,12 @@ def _build_module(spec: LayerSpec, dtype) -> Optional[Any]:
             return B.DSBottleneck(a[1], *a[2:], dtype=dtype, name=name)
         if m == "SPPF":
             return B.SPPF(a[1], *a[2:], dtype=dtype, name=name)
+        if m == "SPPCSPC":
+            return B.SPPCSPC(a[1], *a[2:], dtype=dtype, name=name)
+        if m == "IDetect":
+            from .heads import IDetect as _IDetect
+            return _IDetect(nc=a[0], anchors=tuple(tuple(x) for x in a[1]),
+                            ch=tuple(a[2]), dtype=dtype, name=name)
         if m == "A2C2f":
             return B.A2C2f(a[1], *a[2:], dtype=dtype, name=name)
         if m in ("HyperACE", "HyperACE2"):
@@ -455,7 +473,7 @@ def _build_module(spec: LayerSpec, dtype) -> Optional[Any]:
         if m == "Classify":
             from .heads import Classify
             return Classify(a[1], dtype=dtype, name=name)
-        if m in ("Upsample", "Concat"):
+        if m in ("Upsample", "Concat", "MP", "SP"):
             return None  # parameter-free, handled inline
         raise NotImplementedError(f"module '{m}' not registered in the TPU build yet")
 
@@ -503,6 +521,12 @@ class YOLOModel(nn.Module):
                 out = nearest_upsample(inp, int(layer.args[1]) if len(layer.args) > 1 else 2)
             elif layer.name == "Concat":
                 out = jnp.concatenate(inp, axis=-1)
+            elif layer.name == "MP":
+                k = int(layer.args[0]) if layer.args else 2
+                out = max_pool(inp, k, k, 0)
+            elif layer.name == "SP":
+                k = int(layer.args[0]) if layer.args else 3
+                out = max_pool(inp, k, 1, k // 2)
             elif isinstance(m, (list, tuple)):
                 out = inp
                 for sub in m:
@@ -531,6 +555,8 @@ class DetectionModel:
         self.dtype = dtype
         self.module = YOLOModel(spec=self.spec, dtype=dtype)
         self.reg_max = 16
+        self.head_name = self.spec.layers[-1].name
+        self.anchors = self.spec.layers[-1].args[1] if self.head_name == "IDetect" else None
         self.strides = self._probe_strides(ch)
         self.names = {i: f"{i}" for i in range(self.nc)}
 
@@ -584,6 +610,9 @@ class DetectionModel:
             feats = feats["one2one"]
         elif isinstance(feats, tuple) and len(feats) and not hasattr(feats[0], "shape"):
             feats = feats[0]
+        if self.head_name == "IDetect":
+            from .heads import decode_v7
+            return decode_v7(feats, self.strides, self.anchors, self.nc)
         return decode_detections(feats, self.strides, self.nc, self.reg_max)
 
     def predict_tta(self, variables, x):
