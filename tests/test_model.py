@@ -116,6 +116,26 @@ def test_yolov7_builds_and_decodes():
     assert float(pred[:, 4:].min()) >= 0.0 and float(pred[:, 4:].max()) <= 1.0
 
 
+def test_rtdetr_yamls_param_parity_and_forward():
+    """RT-DETR configs: golden counts captured from the live torch reference
+    (exact — no DFL fold in DETR heads); rtdetr-l runs forward + postprocess."""
+    golden = {
+        "rtdetr-l.yaml": 32970476,
+        "rtdetr-x.yaml": 67467852,
+        "rtdetr-resnet50.yaml": 42925132,
+        "rtdetr-resnet101.yaml": 61917260,
+    }
+    for name, want in golden.items():
+        m = DetectionModel(name, nc=80)
+        assert m.head_name == "RTDETRDecoder"
+        assert count_params(m) == want, name
+    m = DetectionModel("rtdetr-l.yaml", nc=80)
+    v = m.init(jax.random.PRNGKey(0), imgsz=64)
+    dets = m.predict(v, jnp.zeros((1, 64, 64, 3)))
+    assert dets.shape == (1, 84, 6)  # 84 tokens < 300 queries at 64px
+    assert bool(jnp.isfinite(dets).all())
+
+
 def test_conv_transpose2d_shapes():
     """Torch nn.ConvTranspose2d formula: out = (in-1)*s - 2p + k."""
     from yolo_dbl_tpu.nn.common import ConvTranspose2d

@@ -100,7 +100,8 @@ class Trainer:
         # plugin miscompiles donated train steps once the GT pad dimension is
         # >=16 (runtime INVALID_ARGUMENT; bisected 2026-08-16: identical step
         # passes without donation). Donate everywhere else.
-        donate = (0,) if jax.default_backend() != "axon" else ()
+        plat_ver = getattr(jax.devices()[0].client, "platform_version", "")
+        donate = () if "axon" in plat_ver.lower() else (0,)
         if self.mesh is not None:
             data_sharding = NamedSharding(self.mesh, P("data"))
             repl = NamedSharding(self.mesh, P())

@@ -166,7 +166,8 @@ class RTDETRDecoder(nn.Module):
         enc_scores = nn.Dense(self.nc, dtype=self.dtype, name="enc_score_head")(enc_out)  # (B, S, nc)
         enc_bbox_delta = _MLP(self.hd, 4, dtype=self.dtype, name="enc_bbox_head")(enc_out)
         enc_bboxes_logit = enc_bbox_delta + anchors_logit
-        topv, topi = jax.lax.top_k(enc_scores.max(-1), self.nq)  # (B, nq)
+        nq = min(self.nq, enc_scores.shape[1])  # tiny inputs: fewer tokens than queries
+        topv, topi = jax.lax.top_k(enc_scores.max(-1), nq)  # (B, nq)
         ref_logit = jnp.take_along_axis(enc_bboxes_logit, topi[..., None], axis=1)  # (B, nq, 4)
         ref_bbox = jax.nn.sigmoid(ref_logit)
         enc_sel_scores = jnp.take_along_axis(enc_scores, topi[..., None], axis=1)
@@ -176,7 +177,11 @@ class RTDETRDecoder(nn.Module):
         dec_bboxes, dec_scores = [], []
         tgt = target
         refer = jax.lax.stop_gradient(ref_bbox)
-        pos_head = _MLP(2 * self.hd, self.hd, dtype=self.dtype, name="query_pos_head")
+        # reference: MLP(4, 2*hd, hd, num_layers=2) (head.py:614)
+        pos_head = _MLP(2 * self.hd, self.hd, layers=2, dtype=self.dtype, name="query_pos_head")
+        # class embedding for contrastive denoising training (head.py:605);
+        # created unconditionally so checkpoints carry it.
+        self.param("denoising_class_embed", nn.initializers.normal(1.0), (self.nc, self.hd))
         for i in range(self.ndl):
             pos = pos_head(refer)  # shared head, recomputed from current refs
             tgt = DeformableDecoderLayer(

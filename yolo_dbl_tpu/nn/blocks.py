@@ -157,6 +157,132 @@ class SPPF(nn.Module):
         return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, -1), train)
 
 
+class LightConv(nn.Module):
+    """1x1 conv (no act) + depthwise conv (ReLU) — PPHGNetV2 light conv
+    (reference conv.py:110)."""
+
+    c2: int
+    k: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = Conv(self.c2, 1, act=False, dtype=self.dtype, name="conv1")(x, train)
+        return DWConv(self.c2, self.k, act=nn.relu, dtype=self.dtype, name="conv2")(x, train)
+
+
+class HGStem(nn.Module):
+    """PPHGNetV2 stem: 5 ReLU convs + stride-1 maxpool branch
+    (reference block.py:107). The zero right/bottom pad is shared by the
+    stem2a conv branch and the ceil-mode pool, exactly as in torch."""
+
+    cm: int
+    c2: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        r = nn.relu
+        x = Conv(self.cm, 3, 2, act=r, dtype=self.dtype, name="stem1")(x, train)
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        x2 = Conv(self.cm // 2, 2, 1, p=0, act=r, dtype=self.dtype, name="stem2a")(x, train)
+        x2 = jnp.pad(x2, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        x2 = Conv(self.cm, 2, 1, p=0, act=r, dtype=self.dtype, name="stem2b")(x2, train)
+        x1 = max_pool(x, 2, 1, 0)  # zero-padded input -> plain valid pool
+        x = jnp.concatenate([x1, x2], axis=-1)
+        x = Conv(self.cm, 3, 2, act=r, dtype=self.dtype, name="stem3")(x, train)
+        return Conv(self.c2, 1, 1, act=r, dtype=self.dtype, name="stem4")(x, train)
+
+
+class HGBlock(nn.Module):
+    """PPHGNetV2 HG block (reference block.py:138): n chained (Light)Convs,
+    dense concat, squeeze/excite 1x1 convs, optional residual."""
+
+    cm: int
+    c2: int
+    k: int = 3
+    n: int = 6
+    lightconv: bool = False
+    shortcut: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        r = nn.relu
+        y = [x]
+        for i in range(self.n):
+            if self.lightconv:
+                y.append(LightConv(self.cm, self.k, dtype=self.dtype, name=f"m{i}")(y[-1], train))
+            else:
+                y.append(Conv(self.cm, self.k, act=r, dtype=self.dtype, name=f"m{i}")(y[-1], train))
+        out = Conv(self.c2 // 2, 1, 1, act=r, dtype=self.dtype, name="sc")(jnp.concatenate(y, -1), train)
+        out = Conv(self.c2, 1, 1, act=r, dtype=self.dtype, name="ec")(out, train)
+        return out + x if self.shortcut and x.shape[-1] == self.c2 else out
+
+
+class RepC3(nn.Module):
+    """RT-DETR neck CSP block with RepConv body (reference block.py:286)."""
+
+    c2: int
+    n: int = 3
+    e: float = 1.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from .v9v10 import RepConv
+
+        c_ = int(self.c2 * self.e)
+        y = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            y = RepConv(c_, dtype=self.dtype, name=f"m{i}")(y, train)
+        y = y + Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        if c_ != self.c2:
+            y = Conv(self.c2, 1, 1, dtype=self.dtype, name="cv3")(y, train)
+        return y
+
+
+class ResNetBlock(nn.Module):
+    """Bottleneck ResNet block, ultralytics flavor (reference block.py:382):
+    SiLU convs inside, ReLU on the residual sum."""
+
+    c2: int
+    s: int = 1
+    e: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c3 = self.e * self.c2
+        y = Conv(self.c2, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        y = Conv(self.c2, 3, self.s, p=1, dtype=self.dtype, name="cv2")(y, train)
+        y = Conv(c3, 1, act=False, dtype=self.dtype, name="cv3")(y, train)
+        if self.s != 1 or x.shape[-1] != c3:
+            x = Conv(c3, 1, self.s, act=False, dtype=self.dtype, name="shortcut")(x, train)
+        return nn.relu(y + x)
+
+
+class ResNetLayer(nn.Module):
+    """Stack of ResNet blocks or the 7x7 stem (reference block.py:399)."""
+
+    c2: int
+    s: int = 1
+    is_first: bool = False
+    n: int = 1
+    e: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.is_first:
+            x = Conv(self.c2, 7, 2, p=3, dtype=self.dtype, name="stem")(x, train)
+            return max_pool(x, 3, 2, 1)
+        x = ResNetBlock(self.c2, self.s, self.e, dtype=self.dtype, name="b0")(x, train)
+        for i in range(1, self.n):
+            x = ResNetBlock(self.c2, 1, self.e, dtype=self.dtype, name=f"b{i}")(x, train)
+        return x
+
+
 class SPPCSPC(nn.Module):
     """YOLOv7 CSP spatial pyramid pooling (cfg/models/v7/yolov7.yaml head; the
     torch reference ships the yaml display-only without this module — we

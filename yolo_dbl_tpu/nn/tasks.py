@@ -19,6 +19,7 @@ Two artifacts:
 
 from __future__ import annotations
 
+import ast
 import math
 import re
 from dataclasses import dataclass, field
@@ -111,16 +112,16 @@ _C2_SCALED = {
     # v7/v9/v10/v11 family (reference tasks.py:1001-1016)
     "RepGhostBottleneck", "RepLKBlock", "GGhostBottleneck", "GGhostStage",
     "RepConv", "RepCSP", "RepNCSPELAN4", "ELAN1", "ADown", "AConv", "SPPELAN",
-    "SCDown", "C2fCIB", "PSA", "C2PSA",
+    "SCDown", "C2fCIB", "PSA", "C2PSA", "RepC3",
 }
 _REPEAT_INSERT = {"C2f", "C3", "C3k2", "DSC3k2", "DSC3k", "A2C2f", "C3k2_EFE", "EffBlock", "M2C2f", "C3k2_EAMC",
-                  "C2fCIB", "C2PSA", "RepCSP"}
+                  "C2fCIB", "C2PSA", "RepCSP", "RepC3"}
 _LEGACY_FALSE = {"C3k2", "DSC3k2", "A2C2f"}
 # c1-only modules: yaml arg[0] (if any) is ignored, c2 = c1 (tasks.py:1156-1186)
 _C1_ONLY = {
     "DySample", "LSKblock", "CBAM", "SLA", "EMA", "SELayer", "EdgeAwareAttention",
     "EdgeAwareAttentionV2", "BAM", "FullyAttentionalBlock", "HiLo", "NonLocalBlock2D",
-    "BiFormerNCHW", "DAT_YOLO", "SCAM", "ELA", "CAA", "BoTAttention", "AIFI",
+    "BiFormerNCHW", "DAT_YOLO", "SCAM", "ELA", "CAA", "BoTAttention",
     "CoTNetLayer", "TripletAttention", "EUCB", "MEUM", "DLU", "CARAFE", "CARAFEplusplus", "LDA_AQU",
     # extensions beyond the reference registry (reachable only from test.py
     # there; YAML-reachable here): c1-only by construction
@@ -150,6 +151,13 @@ def parse_model_spec(d: Dict, ch: int = 3, verbose: bool = False) -> ModelSpec:
                 args[j] = nc
             elif isinstance(a, str) and a == "anchors":
                 args[j] = d.get("anchors")
+            elif isinstance(a, str):
+                # yaml `None`/`True` arrive as strings (reference tasks.py:979
+                # literal_evals them); leave real strings like "nearest" alone
+                try:
+                    args[j] = ast.literal_eval(a)
+                except (ValueError, SyntaxError):
+                    pass
         n_ = n
         n = max(round(n * depth), 1) if n > 1 else n
 
@@ -212,6 +220,22 @@ def parse_model_spec(d: Dict, ch: int = 3, verbose: bool = False) -> ModelSpec:
             if c2 != nc:
                 c2 = make_divisible(min(c2, max_channels) * width, 8)
             args = [c1, c2, *args[1:]]
+        elif m == "AIFI":
+            # channels prepended, cm/heads raw (reference tasks.py:1093)
+            args = [chs[f], *args]
+            c2 = chs[f]
+        elif m in ("HGStem", "HGBlock"):
+            # PPHGNetV2 family: cm, c2 raw, no width scaling (tasks.py:1095)
+            c1, cm, c2 = chs[f], args[0], args[1]
+            args = [c1, cm, c2, *args[2:]]
+            if m == "HGBlock":
+                args.insert(4, n)
+                n = 1
+        elif m == "ResNetLayer":
+            c2 = args[1] if args[3] else args[1] * 4  # (tasks.py:1101)
+        elif m == "RTDETRDecoder":
+            args.insert(1, [chs[x] for x in f])  # (tasks.py:1113)
+            c2 = 0
         elif m in ("MP", "SP"):
             c2 = chs[f]  # parameter-free maxpool (yolov7)
         elif m == "SPPCSPC":
@@ -279,7 +303,9 @@ def _attention_builders():
         "AxialBlock_YOLO": lambda a, d, n: A.AxialBlock(a[0] // 2, kernel_size=a[1] if len(a) > 1 else 20, dtype=d, name=n),
         "Outlooker_YOLO": lambda a, d, n: A.Outlooker(a[1], *a[2:], dtype=d, name=n),
         "SwinTransformer": lambda a, d, n: A.SwinTransformer(a[0], a[1], *a[2:], dtype=d, name=n),
-        "AIFI": lambda a, d, n: A.AIFI(a[0], *a[1:], dtype=d, name=n),
+        "AIFI": lambda a, d, n: A.AIFI(
+            a[0], cm=(a[1] if len(a) > 1 else 2048),
+            num_heads=(a[2] if len(a) > 2 else 8), dtype=d, name=n),
         "PSAModule": lambda a, d, n: A.PSAModule(a[1], *a[2:], dtype=d, name=n),
         "CPCA": lambda a, d, n: A.CPCA(a[0], *a[1:], dtype=d, name=n),
         "CPCA_YOLO": lambda a, d, n: A.CPCA(a[0], a[1], *a[2:], dtype=d, name=n),
@@ -425,6 +451,17 @@ def _build_module(spec: LayerSpec, dtype) -> Optional[Any]:
             return B.SPPF(a[1], *a[2:], dtype=dtype, name=name)
         if m == "SPPCSPC":
             return B.SPPCSPC(a[1], *a[2:], dtype=dtype, name=name)
+        if m == "HGStem":
+            return B.HGStem(a[1], a[2], dtype=dtype, name=name)
+        if m == "HGBlock":
+            return B.HGBlock(a[1], *a[2:], dtype=dtype, name=name)
+        if m == "RepC3":
+            return B.RepC3(a[1], *a[2:], dtype=dtype, name=name)
+        if m == "ResNetLayer":
+            return B.ResNetLayer(a[1], *a[2:], dtype=dtype, name=name)
+        if m == "RTDETRDecoder":
+            from ..models.rtdetr import RTDETRDecoder as _RTD
+            return _RTD(nc=a[0], ch=tuple(a[1]), dtype=dtype, name=name)
         if m == "IDetect":
             from .heads import IDetect as _IDetect
             return _IDetect(nc=a[0], anchors=tuple(tuple(x) for x in a[1]),
@@ -557,7 +594,9 @@ class DetectionModel:
         self.reg_max = 16
         self.head_name = self.spec.layers[-1].name
         self.anchors = self.spec.layers[-1].args[1] if self.head_name == "IDetect" else None
-        self.strides = self._probe_strides(ch)
+        # RTDETRDecoder consumes the P3/P4/P5 pyramid and is stride-free at
+        # decode (boxes are normalized); skip the output-shape probe.
+        self.strides = (8, 16, 32) if self.head_name == "RTDETRDecoder" else self._probe_strides(ch)
         self.names = {i: f"{i}" for i in range(self.nc)}
 
     def _probe_strides(self, ch, probe=256):
@@ -613,6 +652,10 @@ class DetectionModel:
         if self.head_name == "IDetect":
             from .heads import decode_v7
             return decode_v7(feats, self.strides, self.anchors, self.nc)
+        if self.head_name == "RTDETRDecoder":
+            from ..models.rtdetr import rtdetr_postprocess
+            dec_bboxes, dec_scores = feats[0], feats[1]
+            return rtdetr_postprocess(dec_bboxes, dec_scores, img_size=x.shape[1])
         return decode_detections(feats, self.strides, self.nc, self.reg_max)
 
     def predict_tta(self, variables, x):
