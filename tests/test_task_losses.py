@@ -1,0 +1,161 @@
+"""Task models (pose/obb/cls) and their losses: parity, decode, training signal."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolo_dbl_tpu.nn.tasks import ClassificationModel, DetectionModel
+from yolo_dbl_tpu.losses.extra import dist2rbox, kpts_decode, obb_loss, pose_loss
+from yolo_dbl_tpu.losses.tal import (
+    rotated_task_aligned_assign,
+    select_candidates_in_gts,
+    select_candidates_in_rotated_gts,
+)
+
+
+def _count(model):
+    v = jax.eval_shape(
+        lambda: model.module.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)))
+    )
+    return sum(p.size for p in jax.tree_util.tree_leaves(v["params"]))
+
+
+def test_task_model_param_parity():
+    """Golden counts from the live torch reference (pose/obb: −16 DFL fold)."""
+    assert _count(DetectionModel("yolov8-pose.yaml")) == 3295470 - 16
+    assert _count(DetectionModel("yolov8-obb.yaml")) == 3228867 - 16
+    assert _count(ClassificationModel("yolov8-cls.yaml")) == 2719288
+
+
+def test_classification_model_forward():
+    m = ClassificationModel("yolov8-cls.yaml", nc=10)
+    v = m.init(jax.random.PRNGKey(0), imgsz=64)
+    p = m.predict(v, jnp.zeros((2, 64, 64, 3)))
+    assert p.shape == (2, 10)
+    np.testing.assert_allclose(np.asarray(p.sum(-1)), 1.0, atol=1e-5)
+
+
+def test_rotated_candidates_match_axis_aligned_at_zero_angle():
+    anc = jnp.array([[4.0, 4.0], [12.0, 4.0], [20.0, 20.0]])
+    xyxy = jnp.array([[[2.0, 2.0, 10.0, 10.0]]])  # (B=1, M=1, 4)
+    rbox = jnp.array([[[6.0, 6.0, 8.0, 8.0, 0.0]]])  # same box as xywhr
+    a = select_candidates_in_gts(anc, xyxy)
+    b = select_candidates_in_rotated_gts(anc, rbox)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_rotated_candidates_rotate_with_box():
+    # a thin box along x; the anchor at (10, 2.5) leaves it when rotated 90°
+    anc = jnp.array([[10.0, 2.5], [2.5, 10.0]])
+    flat = jnp.array([[[10.0, 2.5, 18.0, 2.0, 0.0]]])
+    tall = jnp.array([[[10.0, 2.5, 18.0, 2.0, jnp.pi / 2]]])
+    assert np.asarray(select_candidates_in_rotated_gts(anc, flat))[0, 0].tolist() == [1.0, 0.0]
+    m = np.asarray(select_candidates_in_rotated_gts(anc, tall))[0, 0]
+    assert m[0] == 1.0  # center still inside (rotation about its own center)
+
+
+def test_dist2rbox_zero_angle_matches_dist2bbox_xywh():
+    from yolo_dbl_tpu.ops.anchors import dist2bbox
+
+    anc = jnp.array([[8.0, 8.0]])
+    dist = jnp.array([[[2.0, 3.0, 4.0, 1.0]]])  # ltrb
+    r = dist2rbox(dist, jnp.zeros((1, 1, 1)), anc[None])
+    ref = dist2bbox(dist, anc[None], xywh=True)
+    np.testing.assert_allclose(np.asarray(r), np.asarray(ref), atol=1e-6)
+
+
+def _pose_batch(b=2, m=4, imgsz=64, k=17):
+    rng = np.random.default_rng(0)
+    boxes = np.zeros((b, m, 4), np.float32)
+    boxes[:, :2] = [[0.4, 0.4, 0.3, 0.3], [0.7, 0.6, 0.2, 0.25]]
+    cls = np.zeros((b, m), np.int64)
+    mask = np.zeros((b, m), np.float32)
+    mask[:, :2] = 1.0
+    kpts = np.zeros((b, m, k, 3), np.float32)
+    kpts[:, :2, :, 0] = rng.uniform(0.3, 0.8, (b, 2, k))
+    kpts[:, :2, :, 1] = rng.uniform(0.3, 0.8, (b, 2, k))
+    kpts[:, :2, :, 2] = 2.0  # visible
+    # random pixels: at exactly-zero logits the stable BCE kink has zero
+    # subgradient, which would make the grad-flow assertion vacuous
+    img = rng.standard_normal((b, imgsz, imgsz, 3)).astype(np.float32)
+    return {"img": img, "gt_boxes": boxes, "gt_cls": cls, "gt_mask": mask, "gt_kpts": kpts}
+
+
+def test_pose_loss_runs_and_grads():
+    m = DetectionModel("yolov8-pose.yaml", nc=1)
+    v = m.init(jax.random.PRNGKey(0), imgsz=64)
+    batch = _pose_batch()
+
+    def loss_fn(params):
+        det, kpts = m.apply({"params": params, "batch_stats": v["batch_stats"]},
+                            batch["img"])
+        total, items = pose_loss(det, kpts, batch, m.strides, m.nc)
+        return total, items
+
+    (total, items), grads = jax.value_and_grad(loss_fn, has_aux=True)(v["params"])
+    assert np.isfinite(float(total))
+    assert float(items["kpt"]) >= 0 and float(items["kobj"]) >= 0
+    gnorm = sum(float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
+def _obb_batch(b=2, m=4, imgsz=64):
+    boxes = np.zeros((b, m, 5), np.float32)
+    boxes[:, 0] = [0.5, 0.5, 0.4, 0.25, 0.4]
+    boxes[:, 1] = [0.3, 0.6, 0.3, 0.2, 1.0]
+    cls = np.zeros((b, m), np.int64)
+    mask = np.zeros((b, m), np.float32)
+    mask[:, :2] = 1.0
+    img = np.random.default_rng(1).standard_normal((b, imgsz, imgsz, 3)).astype(np.float32)
+    return {"img": img, "gt_boxes": boxes, "gt_cls": cls, "gt_mask": mask}
+
+
+def test_obb_loss_runs_and_grads():
+    m = DetectionModel("yolov8-obb.yaml", nc=1)
+    v = m.init(jax.random.PRNGKey(0), imgsz=64)
+    batch = _obb_batch()
+
+    def loss_fn(params):
+        det, angles = m.apply({"params": params, "batch_stats": v["batch_stats"]},
+                              batch["img"])
+        total, items = obb_loss(det, angles, batch, m.strides, m.nc)
+        return total, items
+
+    (total, items), grads = jax.value_and_grad(loss_fn, has_aux=True)(v["params"])
+    assert np.isfinite(float(total))
+    assert float(items.box) >= 0 and float(items.cls) >= 0
+    gnorm = sum(float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_obb_tiny_boxes_filtered():
+    """Sub-2px rotated GTs contribute nothing (reference loss.py:661 filter)."""
+    m = DetectionModel("yolov8-obb.yaml", nc=1)
+    v = m.init(jax.random.PRNGKey(1), imgsz=64)
+    batch = _obb_batch()
+    tiny = {**batch}
+    tb = batch["gt_boxes"].copy()
+    tb[:, :2, 2:4] = 0.01  # 0.64 px wide/tall
+    tiny["gt_boxes"] = tb
+    det, angles = m.apply({"params": v["params"], "batch_stats": v["batch_stats"]}, batch["img"])
+    _, items = obb_loss(det, angles, tiny, m.strides, m.nc)
+    assert float(items.box) == 0.0  # no assignable GTs -> no box loss
+
+
+def test_trainer_dispatches_pose_loss():
+    """make_train_step routes Pose models through pose_loss (kpt metric key)."""
+    from yolo_dbl_tpu.engine.train_state import build_optimizer, create_train_state
+    from yolo_dbl_tpu.engine.trainer import make_train_step
+    from yolo_dbl_tpu.cfg import get_cfg
+
+    m = DetectionModel("yolov8-pose.yaml", nc=1)
+    v = m.init(jax.random.PRNGKey(0), imgsz=64)
+    cfg = get_cfg(overrides={"optimizer": "SGD", "epochs": 1, "imgsz": 64, "batch": 2})
+    tx, _ = build_optimizer(v["params"], 1, cfg, steps_per_epoch=2)
+    state = create_train_state(v, tx)
+    step = jax.jit(make_train_step(m, cfg, tx))
+    batch = {k: jnp.asarray(val) for k, val in _pose_batch().items()}
+    state2, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert "kpt_loss" in metrics and np.isfinite(float(metrics["loss"]))
+    assert int(state2.step) == 1

@@ -27,25 +27,49 @@ from ..nn.tasks import DetectionModel
 from .train_state import TrainState, build_optimizer, create_train_state, ema_update
 
 
+def _task_loss(model: DetectionModel, cfg, outputs, batch):
+    """Dispatch the loss on the model's head family (reference v8DetectionLoss
+    / v8SegmentationLoss / v8PoseLoss / v8OBBLoss / E2EDetectLoss selection in
+    BaseModel.init_criterion)."""
+    strides, nc = model.strides, model.nc
+    gains = dict(box_gain=cfg.box, cls_gain=cfg.cls, dfl_gain=cfg.dfl)
+    head = getattr(model, "head_name", "Detect")
+    if head == "Segment":
+        from ..losses.extra import segmentation_loss
+        det, coeffs, protos = outputs
+        return segmentation_loss(det, coeffs, protos, batch, strides, nc, **gains)
+    if head == "Pose":
+        from ..losses.extra import pose_loss
+        det, kpts = outputs
+        kpt_shape = tuple(model.yaml.get("kpt_shape", (17, 3)))
+        return pose_loss(det, kpts, batch, strides, nc, kpt_shape=kpt_shape,
+                         pose_gain=cfg.pose, kobj_gain=cfg.kobj, **gains)
+    if head == "OBB":
+        from ..losses.extra import obb_loss
+        det, angles = outputs
+        return obb_loss(det, angles, batch, strides, nc, **gains)
+    if isinstance(outputs, dict):  # v10Detect end-to-end
+        from ..losses.extra import e2e_detect_loss
+        total, items = e2e_detect_loss(outputs, batch, strides, nc, **gains)
+        return total, items["one2many"]
+    return detection_loss(outputs, batch, strides, nc, **gains)
+
+
 def make_train_step(model: DetectionModel, cfg, tx) -> Callable:
     """Build the jitted train step closure over static model/config."""
-    strides, nc = model.strides, model.nc
 
     def train_step(state: TrainState, batch: Dict, rng) -> Tuple[TrainState, Dict]:
         rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
-            feats, mutated = model.module.apply(
+            outputs, mutated = model.module.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["img"],
                 train=True,
                 mutable=["batch_stats"],
                 rngs={"dropout": rng},
             )
-            loss, items = detection_loss(
-                feats, batch, strides, nc,
-                box_gain=cfg.box, cls_gain=cfg.cls, dfl_gain=cfg.dfl,
-            )
+            loss, items = _task_loss(model, cfg, outputs, batch)
             return loss, (items, mutated["batch_stats"])
 
         (loss, (items, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -60,12 +84,8 @@ def make_train_step(model: DetectionModel, cfg, tx) -> Callable:
             ema_params=new_ema,
             ema_updates=state.ema_updates + 1.0,
         )
-        metrics = {
-            "loss": loss,
-            "box_loss": items.box,
-            "cls_loss": items.cls,
-            "dfl_loss": items.dfl,
-        }
+        d = items if isinstance(items, dict) else items._asdict()
+        metrics = {"loss": loss, **{f"{k}_loss": v for k, v in d.items()}}
         return new_state, metrics
 
     return train_step

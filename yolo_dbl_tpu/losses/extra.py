@@ -174,3 +174,163 @@ def segmentation_loss(feats, coeffs, protos, batch, strides, nc, overlap_masks=T
     )
     total = total_det + loss_mask * b
     return total, {**items._asdict(), "mask": loss_mask}
+
+
+def kpts_decode(anchor_points, pred_kpts):
+    """Decode raw keypoint maps to grid coordinates (reference loss.py:526):
+    xy = raw_xy * 2 + (anchor - 0.5); visibility channel passes through."""
+    xy = pred_kpts[..., :2] * 2.0 + (anchor_points[None, :, None, :] - 0.5)
+    return jnp.concatenate([xy, pred_kpts[..., 2:]], axis=-1)
+
+
+def pose_loss(feats, kpt_maps, batch, strides, nc, kpt_shape=(17, 3),
+              pose_gain=12.0, kobj_gain=1.0, **kw):
+    """Detection loss + OKS keypoint location + visibility BCE
+    (reference v8PoseLoss, loss.py:446). Fixed shapes: batch carries
+    gt_kpts (B, M, K, nd) with xy normalized to [0, 1].
+    """
+    from ..nn.heads import dfl_expectation
+    from ..ops.anchors import dist2bbox
+    from ..ops.boxes import xywh2xyxy
+    from .tal import task_aligned_assign
+
+    total_det, items = detection_loss(feats, batch, strides, nc, **kw)
+
+    b = feats[0].shape[0]
+    nk, nd = kpt_shape
+    shapes = [f.shape[1:3] for f in feats]
+    anchor_points, stride_t = make_anchors(shapes, strides)
+    imgsz_h = feats[0].shape[1] * strides[0]
+    imgsz_w = feats[0].shape[2] * strides[0]
+
+    x = flatten_levels(feats).astype(jnp.float32)
+    pred_scores = x[..., 64:]
+    dist = dfl_expectation(x[..., :64], 16)
+    pd_boxes = dist2bbox(dist, anchor_points[None], xywh=False)  # grid units
+
+    scale = jnp.array([imgsz_w, imgsz_h, imgsz_w, imgsz_h], jnp.float32)
+    gt_xyxy = xywh2xyxy(batch["gt_boxes"].astype(jnp.float32) * scale)
+    _, tgt_boxes, _, fg_mask, tgt_idx = task_aligned_assign(
+        jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
+        jax.lax.stop_gradient(pd_boxes * stride_t[None]),
+        anchor_points * stride_t,
+        batch["gt_cls"].astype(jnp.int32),
+        gt_xyxy,
+        batch["gt_mask"].astype(jnp.float32),
+        num_classes=nc,
+    )
+    fg = jax.lax.stop_gradient(fg_mask).astype(jnp.float32)
+    tgt_boxes = jax.lax.stop_gradient(tgt_boxes) / stride_t[None]  # grid units
+
+    # predicted keypoints in grid units
+    pk = flatten_levels(kpt_maps).astype(jnp.float32).reshape(b, -1, nk, nd)
+    pred_kpts = kpts_decode(anchor_points, pk)
+
+    # assigned GT keypoints, pixels -> per-anchor grid units
+    gk = jnp.asarray(batch["gt_kpts"], jnp.float32)  # (B, M, K, nd), xy in [0, 1]
+    kscale = jnp.concatenate(
+        [jnp.array([imgsz_w, imgsz_h], jnp.float32), jnp.ones((nd - 2,), jnp.float32)])
+    gk = gk * kscale
+    sel = jnp.take_along_axis(gk, tgt_idx[:, :, None, None], axis=1)  # (B, A, K, nd)
+    kdiv = jnp.concatenate([stride_t[None, :, :, None] * jnp.ones((1, 1, 1, 2)),
+                            jnp.ones((1, sel.shape[1], 1, nd - 2))], axis=-1)
+    sel = sel / kdiv
+
+    area = jnp.clip((tgt_boxes[..., 2] - tgt_boxes[..., 0])
+                    * (tgt_boxes[..., 3] - tgt_boxes[..., 1]), 0)  # (B, A)
+    kpt_mask = (sel[..., 2] != 0).astype(jnp.float32) if nd == 3 else jnp.ones(sel.shape[:-1])
+    sig = OKS_SIGMA if nk == 17 else jnp.full((nk,), 1.0 / nk)
+    d2 = ((pred_kpts[..., :2] - sel[..., :2]) ** 2).sum(-1)  # (B, A, K)
+    factor = nk / (kpt_mask.sum(-1, keepdims=True) + 1e-9)
+    e = d2 / ((2 * sig[None, None]) ** 2 * (area[..., None] + 1e-9) * 2)
+    per_elem = factor * (1 - jnp.exp(-e)) * kpt_mask  # (B, A, K)
+    n_fg = jnp.maximum(fg.sum(), 1.0)
+    loss_kpt = (per_elem * fg[..., None]).sum() / (n_fg * nk)
+
+    if nd == 3:
+        kobj = _bce_with_logits(pk[..., 2], kpt_mask)  # raw logit channel
+        loss_kobj = (kobj * fg[..., None]).sum() / (n_fg * nk)
+    else:
+        loss_kobj = jnp.zeros(())
+
+    total = total_det + (loss_kpt * pose_gain + loss_kobj * kobj_gain) * b
+    return total, {**items._asdict(), "kpt": loss_kpt * pose_gain, "kobj": loss_kobj * kobj_gain}
+
+
+def dist2rbox(pred_dist, pred_angle, anchor_points):
+    """Decode DFL distances + angle to rotated boxes in grid units
+    (reference tal.py:366): rotate the ltrb offset into the box frame."""
+    lt, rb = pred_dist[..., :2], pred_dist[..., 2:]
+    cos, sin = jnp.cos(pred_angle), jnp.sin(pred_angle)
+    xf = (rb[..., :1] - lt[..., :1]) / 2
+    yf = (rb[..., 1:] - lt[..., 1:]) / 2
+    x = xf * cos - yf * sin
+    y = xf * sin + yf * cos
+    xy = jnp.concatenate([x, y], -1) + anchor_points
+    return jnp.concatenate([xy, lt + rb], -1)  # (…, 4) xywh (rotated frame)
+
+
+def obb_loss(feats, angle_maps, batch, strides, nc, reg_max=16,
+             box_gain=7.5, cls_gain=0.5, dfl_gain=1.5):
+    """Rotated detection loss (reference v8OBBLoss, loss.py:612): probiou box
+    loss + BCE cls + DFL, with the rotated TAL assigner. batch["gt_boxes"] is
+    (B, M, 5) xywhr with xywh normalized to [0, 1], angle in radians.
+    """
+    from ..nn.heads import dfl_expectation
+    from ..ops.anchors import bbox2dist
+    from ..ops.boxes import xywh2xyxy
+    from .detection import _df_loss
+    from .tal import rotated_task_aligned_assign
+
+    b = feats[0].shape[0]
+    imgsz_h = feats[0].shape[1] * strides[0]
+    imgsz_w = feats[0].shape[2] * strides[0]
+    shapes = [f.shape[1:3] for f in feats]
+    anchor_points, stride_t = make_anchors(shapes, strides)
+
+    x = flatten_levels(feats).astype(jnp.float32)
+    pred_distri, pred_scores = x[..., : 4 * reg_max], x[..., 4 * reg_max:]
+    pred_angle = flatten_levels(angle_maps).astype(jnp.float32)  # (B, A, 1)
+
+    pd = pred_distri.reshape(b, -1, 4, reg_max)
+    dist = dfl_expectation(pred_distri, reg_max)
+    pred_rboxes = jnp.concatenate(
+        [dist2rbox(dist, pred_angle, anchor_points[None]), pred_angle], -1)  # (B, A, 5) grid units
+
+    gt = batch["gt_boxes"].astype(jnp.float32)  # (B, M, 5) normalized xywh + r
+    scale = jnp.array([imgsz_w, imgsz_h, imgsz_w, imgsz_h], jnp.float32)
+    gt_rboxes = jnp.concatenate([gt[..., :4] * scale, gt[..., 4:5]], -1)
+    # filter tiny rboxes (<2 px) like the reference (loss.py:660)
+    size_ok = (gt_rboxes[..., 2] >= 2) & (gt_rboxes[..., 3] >= 2)
+    mask_gt = batch["gt_mask"].astype(jnp.float32) * size_ok.astype(jnp.float32)
+
+    assign_boxes = pred_rboxes.at[..., :4].multiply(stride_t[None])
+    _, tgt_rboxes, tgt_scores, fg_mask, _ = rotated_task_aligned_assign(
+        jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
+        jax.lax.stop_gradient(assign_boxes),
+        anchor_points * stride_t,
+        batch["gt_cls"].astype(jnp.int32),
+        gt_rboxes,
+        mask_gt,
+        num_classes=nc,
+    )
+    tgt_scores = jax.lax.stop_gradient(tgt_scores)
+    tgt_rboxes = jax.lax.stop_gradient(tgt_rboxes).at[..., :4].divide(stride_t[None])
+    fg = jax.lax.stop_gradient(fg_mask).astype(jnp.float32)
+    tss = jnp.maximum(tgt_scores.sum(), 1.0)
+
+    loss_cls = _bce_with_logits(pred_scores, tgt_scores).sum() / tss
+
+    weight = tgt_scores.sum(-1) * fg
+    iou = jnp.clip(probiou(pred_rboxes, tgt_rboxes), 0.0)
+    loss_box = ((1.0 - iou) * weight).sum() / tss
+
+    # DFL against the axis-aligned version of the target (loss.py:131)
+    tgt_ltrb = bbox2dist(anchor_points[None], xywh2xyxy(tgt_rboxes[..., :4]), reg_max)
+    tgt_ltrb = jnp.clip(tgt_ltrb, 0, reg_max - 1 - 0.01)
+    dfl = _df_loss(pd, tgt_ltrb, reg_max)
+    loss_dfl = (dfl * weight).sum() / tss
+
+    items = LossItems(box=loss_box * box_gain, cls=loss_cls * cls_gain, dfl=loss_dfl * dfl_gain)
+    total = (items.box + items.cls + items.dfl) * b
+    return total, items

@@ -125,3 +125,92 @@ def task_aligned_assign(
     target_scores = target_scores * norm_align[..., None]
 
     return target_labels, target_bboxes, target_scores, fg_mask, target_gt_idx
+
+
+def select_candidates_in_rotated_gts(anc_points, gt_rboxes, eps=1e-9):
+    """Anchors whose center lies inside each rotated GT box
+    (reference tal.py:305 RotatedTaskAlignedAssigner.select_candidates_in_gts):
+    project the center onto the box edge vectors ab/ad from corner a.
+
+    Args:
+        anc_points: (A, 2) xy.
+        gt_rboxes: (B, M, 5) xywhr.
+    Returns:
+        (B, M, A) float mask.
+    """
+    from ..ops.boxes import xywhr2xyxyxyxy
+
+    corners = xywhr2xyxyxyxy(gt_rboxes)  # (B, M, 4, 2)
+    a, b_, d = corners[..., 0, :], corners[..., 1, :], corners[..., 3, :]
+    ab = (b_ - a)[:, :, None, :]  # (B, M, 1, 2)
+    ad = (d - a)[:, :, None, :]
+    ap = anc_points[None, None] - a[:, :, None, :]  # (B, M, A, 2)
+    norm_ab = (ab * ab).sum(-1)
+    norm_ad = (ad * ad).sum(-1)
+    ap_ab = (ap * ab).sum(-1)
+    ap_ad = (ap * ad).sum(-1)
+    inside = (ap_ab >= 0) & (ap_ab <= norm_ab) & (ap_ad >= 0) & (ap_ad <= norm_ad)
+    return inside.astype(jnp.float32)
+
+
+def rotated_task_aligned_assign(
+    pd_scores,
+    pd_rboxes,
+    anc_points,
+    gt_labels,
+    gt_rboxes,
+    mask_gt,
+    topk=10,
+    num_classes=80,
+    alpha=0.5,
+    beta=6.0,
+    eps=1e-9,
+):
+    """Rotated-box TAL assignment (reference tal.py:298): identical to
+    `task_aligned_assign` but overlaps use probiou and candidate anchors use
+    the rotated-containment test. Boxes are (…, 5) xywhr.
+    """
+    from .extra import probiou
+
+    b, a, nc = pd_scores.shape
+    m = gt_rboxes.shape[1]
+    mask_gt = mask_gt.astype(jnp.float32)
+
+    mask_in_gts = select_candidates_in_rotated_gts(anc_points, gt_rboxes)  # (B, M, A)
+    valid = mask_in_gts * mask_gt[..., None]
+
+    ps = jnp.swapaxes(pd_scores, 1, 2)  # (B, nc, A)
+    labels = jnp.clip(gt_labels, 0, nc - 1).astype(jnp.int32)
+    bbox_scores = jnp.take_along_axis(ps, labels[..., None], axis=1) * valid  # (B, M, A)
+
+    overlaps = probiou(gt_rboxes[:, :, None, :], pd_rboxes[:, None, :, :])  # (B, M, A)
+    overlaps = jnp.clip(overlaps, 0.0) * valid
+
+    align_metric = bbox_scores**alpha * overlaps**beta
+
+    k = min(topk, a)
+    topk_metrics, _ = jax.lax.top_k(align_metric, k)
+    kth = topk_metrics[..., -1:]
+    mask_topk = ((align_metric >= kth) & (align_metric > eps)).astype(align_metric.dtype)
+    mask_pos = mask_topk * valid
+
+    fg_counts = mask_pos.sum(axis=-2)
+    max_overlap_gt = jnp.argmax(overlaps, axis=1)
+    is_max = (jnp.arange(m)[None, :, None] == max_overlap_gt[:, None, :]).astype(mask_pos.dtype)
+    mask_pos = jnp.where((fg_counts[:, None, :] > 1), is_max, mask_pos)
+    fg_mask = mask_pos.sum(axis=-2) > 0
+    target_gt_idx = jnp.argmax(mask_pos, axis=-2)
+
+    target_labels = jnp.take_along_axis(labels, target_gt_idx, axis=1)
+    target_rboxes = jnp.take_along_axis(gt_rboxes, target_gt_idx[..., None], axis=1)  # (B, A, 5)
+
+    target_scores = jax.nn.one_hot(target_labels, nc, dtype=pd_scores.dtype)
+    target_scores = target_scores * fg_mask[..., None]
+
+    align_metric = align_metric * mask_pos
+    pos_align_metrics = align_metric.max(axis=-1, keepdims=True)
+    pos_overlaps = (overlaps * mask_pos).max(axis=-1, keepdims=True)
+    norm_align = (align_metric * pos_overlaps / (pos_align_metrics + eps)).max(axis=-2)
+    target_scores = target_scores * norm_align[..., None]
+
+    return target_labels, target_rboxes, target_scores, fg_mask, target_gt_idx

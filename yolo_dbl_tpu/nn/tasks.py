@@ -149,8 +149,9 @@ def parse_model_spec(d: Dict, ch: int = 3, verbose: bool = False) -> ModelSpec:
         for j, a in enumerate(args):
             if isinstance(a, str) and a == "nc":
                 args[j] = nc
-            elif isinstance(a, str) and a == "anchors":
-                args[j] = d.get("anchors")
+            elif isinstance(a, str) and a in d:
+                # named yaml keys (anchors, kpt_shape, …) resolve to their value
+                args[j] = d[a]
             elif isinstance(a, str):
                 # yaml `None`/`True` arrive as strings (reference tasks.py:979
                 # literal_evals them); leave real strings like "nearest" alone
@@ -696,3 +697,20 @@ class DetectionModel:
             "nc": self.nc,
             "scale": self.spec.scale,
         }
+
+
+class ClassificationModel(DetectionModel):
+    """Image classifier under the same YAML compiler (reference tasks.py:452
+    ClassificationModel): Classify head → (B, nc) logits. No strides, no
+    detect-bias priors."""
+
+    def _probe_strides(self, ch, probe=256):
+        return ()
+
+    def _bias_init(self, variables):
+        return variables
+
+    def predict(self, variables, x):
+        """Logits → (B, nc) softmax probabilities."""
+        logits = self.module.apply(variables, x, train=False)
+        return jax.nn.softmax(logits, axis=-1)

@@ -131,3 +131,18 @@ def scale_boxes(img1_shape, boxes, img0_shape, ratio_pad=None, padding=True):
         boxes = boxes - jnp.array([pad[0], pad[1], pad[0], pad[1]], dtype=boxes.dtype)
     boxes = boxes / gain
     return clip_boxes(boxes, img0_shape)
+
+
+def xywhr2xyxyxyxy(rboxes):
+    """Rotated (cx, cy, w, h, angle) boxes → 4 corner points
+    (reference utils/ops.py xywhr2xyxyxyxy). rboxes (..., 5) → (..., 4, 2)."""
+    ctr = rboxes[..., :2]
+    w, h, angle = rboxes[..., 2:3], rboxes[..., 3:4], rboxes[..., 4:5]
+    cos, sin = jnp.cos(angle), jnp.sin(angle)
+    vec1 = jnp.concatenate([w / 2 * cos, w / 2 * sin], axis=-1)
+    vec2 = jnp.concatenate([-h / 2 * sin, h / 2 * cos], axis=-1)
+    pt1 = ctr + vec1 + vec2
+    pt2 = ctr + vec1 - vec2
+    pt3 = ctr - vec1 - vec2
+    pt4 = ctr - vec1 + vec2
+    return jnp.stack([pt1, pt2, pt3, pt4], axis=-2)
