@@ -159,3 +159,27 @@ def test_trainer_dispatches_pose_loss():
     state2, metrics = step(state, batch, jax.random.PRNGKey(0))
     assert "kpt_loss" in metrics and np.isfinite(float(metrics["loss"]))
     assert int(state2.step) == 1
+
+
+def test_obb_predict_and_rotated_nms():
+    """OBB predict → (B, 4+nc+1, A); rotated fast-NMS suppresses duplicates."""
+    from yolo_dbl_tpu.ops.nms import non_max_suppression_rotated
+
+    m = DetectionModel("yolov8-obb.yaml", nc=3)
+    v = m.init(jax.random.PRNGKey(0), imgsz=64)
+    pred = m.predict(v, jnp.zeros((1, 64, 64, 3)))
+    assert pred.shape == (1, 4 + 3 + 1, 84)
+    angles = np.asarray(pred[:, -1])
+    assert (angles >= -np.pi / 4 - 1e-5).all() and (angles <= 3 * np.pi / 4 + 1e-5).all()
+
+    # synthetic: two near-identical rboxes + one distinct; NMS keeps 2
+    p = np.full((1, 6, 8), 0.0, np.float32)
+    p[0, :4, 0] = [20, 20, 10, 6]; p[0, 4, 0] = 0.9
+    p[0, :4, 1] = [20.5, 20, 10, 6]; p[0, 4, 1] = 0.8   # duplicate of 0
+    p[0, :4, 2] = [50, 50, 8, 8]; p[0, 4, 2] = 0.7
+    p[0, 5, :3] = 0.3  # angles
+    dets, counts = non_max_suppression_rotated(jnp.asarray(p), conf_thres=0.25,
+                                               iou_thres=0.45, max_det=8, nc=1)
+    assert int(counts[0]) == 2
+    kept = np.asarray(dets[0, :2])
+    assert {round(float(x)) for x in kept[:, 0]} == {20, 50}

@@ -257,17 +257,7 @@ def pose_loss(feats, kpt_maps, batch, strides, nc, kpt_shape=(17, 3),
     return total, {**items._asdict(), "kpt": loss_kpt * pose_gain, "kobj": loss_kobj * kobj_gain}
 
 
-def dist2rbox(pred_dist, pred_angle, anchor_points):
-    """Decode DFL distances + angle to rotated boxes in grid units
-    (reference tal.py:366): rotate the ltrb offset into the box frame."""
-    lt, rb = pred_dist[..., :2], pred_dist[..., 2:]
-    cos, sin = jnp.cos(pred_angle), jnp.sin(pred_angle)
-    xf = (rb[..., :1] - lt[..., :1]) / 2
-    yf = (rb[..., 1:] - lt[..., 1:]) / 2
-    x = xf * cos - yf * sin
-    y = xf * sin + yf * cos
-    xy = jnp.concatenate([x, y], -1) + anchor_points
-    return jnp.concatenate([xy, lt + rb], -1)  # (…, 4) xywh (rotated frame)
+from ..ops.anchors import dist2rbox  # re-export (moved to ops for head decode)
 
 
 def obb_loss(feats, angle_maps, batch, strides, nc, reg_max=16,

@@ -289,6 +289,22 @@ def decode_v7(feats, strides, anchors, nc):
     return jnp.concatenate(rows, axis=1).swapaxes(-1, -2)  # (B, 4+nc, A)
 
 
+def decode_obb(feats, angle_maps, strides, nc, reg_max=16):
+    """Decode OBB head maps to (B, 4+nc+1, A): rotated xywh in pixels, class
+    scores, angle last (reference head.py OBB.forward inference concat)."""
+    from ..ops.anchors import dist2rbox
+
+    shapes = [f.shape[1:3] for f in feats]
+    anchors, stride_t = make_anchors(shapes, strides)
+    x = flatten_levels(feats)
+    angle = flatten_levels(angle_maps)  # head already maps to [-pi/4, 3pi/4]
+    box_logits, cls_logits = x[..., : 4 * reg_max], x[..., 4 * reg_max:]
+    dist = dfl_expectation(box_logits, reg_max)
+    rbox = dist2rbox(dist, angle, anchors[None].astype(dist.dtype)) * stride_t[None].astype(dist.dtype)
+    scores = jax.nn.sigmoid(cls_logits)
+    return jnp.concatenate([rbox, scores, angle], axis=-1).swapaxes(-1, -2)
+
+
 def flatten_levels(feats):
     """Flatten per-level NHWC maps to (B, A, C) tokens, concatenated over levels."""
     b = feats[0].shape[0]

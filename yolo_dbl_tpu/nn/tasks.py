@@ -649,6 +649,9 @@ class DetectionModel:
         if isinstance(feats, dict):
             feats = feats["one2one"]
         elif isinstance(feats, tuple) and len(feats) and not hasattr(feats[0], "shape"):
+            if self.head_name == "OBB":
+                from .heads import decode_obb
+                return decode_obb(feats[0], feats[1], self.strides, self.nc, self.reg_max)
             feats = feats[0]
         if self.head_name == "IDetect":
             from .heads import decode_v7

@@ -49,3 +49,16 @@ def bbox2dist(anchor_points, bbox, reg_max):
     x1y1, x2y2 = jnp.split(bbox, 2, axis=-1)
     dist = jnp.concatenate([anchor_points - x1y1, x2y2 - anchor_points], axis=-1)
     return jnp.clip(dist, 0, reg_max - 0.01)
+
+
+def dist2rbox(pred_dist, pred_angle, anchor_points):
+    """Decode DFL distances + angle to rotated xywh boxes (reference
+    tal.py:366 dist2rbox): the ltrb offset is rotated into the box frame."""
+    lt, rb = pred_dist[..., :2], pred_dist[..., 2:]
+    cos, sin = jnp.cos(pred_angle), jnp.sin(pred_angle)
+    xf = (rb[..., :1] - lt[..., :1]) / 2
+    yf = (rb[..., 1:] - lt[..., 1:]) / 2
+    x = xf * cos - yf * sin
+    y = xf * sin + yf * cos
+    xy = jnp.concatenate([x, y], -1) + anchor_points
+    return jnp.concatenate([xy, lt + rb], -1)

@@ -124,3 +124,55 @@ def non_max_suppression(
         return dets, valid.sum().astype(jnp.int32)
 
     return jax.vmap(one_image)(boxes, scores_all)
+
+
+@functools.partial(jax.jit, static_argnames=("max_det", "pre_nms_topk", "nc"))
+def non_max_suppression_rotated(
+    prediction,
+    conf_thres=0.25,
+    iou_thres=0.45,
+    max_det=300,
+    pre_nms_topk=1024,
+    nc=None,
+):
+    """Fixed-shape rotated NMS (reference utils/ops.py:146 nms_rotated):
+    fast-NMS — probiou upper-triangle against higher-scoring boxes, keep rows
+    whose max overlap is below the threshold. Single pass, fully jittable.
+
+    Args:
+        prediction: (B, 4+nc+1, A) decode_obb output (xywh, scores, angle).
+    Returns:
+        dets (B, max_det, 7) [x, y, w, h, angle, conf, cls] and counts (B,).
+    """
+    from ..losses.extra import probiou
+
+    b, no, a = prediction.shape
+    nc = nc if nc is not None else no - 5
+    pred = jnp.swapaxes(prediction, -1, -2)  # (B, A, no)
+    boxes, scores, angle = pred[..., :4], pred[..., 4:4 + nc], pred[..., 4 + nc:]
+    conf = scores.max(-1)
+    cls = scores.argmax(-1).astype(jnp.float32)
+    conf = jnp.where(conf >= conf_thres, conf, -jnp.inf)
+
+    k = min(pre_nms_topk, a)
+    top_conf, idx = jax.lax.top_k(conf, k)  # (B, K)
+
+    def per_image(bx, ang, cl, cf, ix):
+        rb = jnp.concatenate([bx[ix], ang[ix]], -1)  # (K, 5) xywhr
+        iou = probiou(rb[:, None, :], rb[None, :, :])  # (K, K)
+        tri = jnp.tril(jnp.ones((k, k), dtype=bool), k=-1).T
+        live = jnp.isfinite(cf)
+        overlap = jnp.where(tri & live[None, :] & live[:, None], iou, 0.0)
+        keep = (overlap.max(axis=0) < iou_thres) & live
+        score_kept = jnp.where(keep, cf, -jnp.inf)
+        n_out = min(max_det, k)
+        out_s, out_i = jax.lax.top_k(score_kept, n_out)
+        dets = jnp.concatenate(
+            [rb[out_i], out_s[:, None], cl[ix][out_i][:, None]], -1)  # (n_out, 7)
+        valid = jnp.isfinite(out_s)
+        dets = jnp.where(valid[:, None], dets, 0.0)
+        if n_out < max_det:
+            dets = jnp.pad(dets, ((0, max_det - n_out), (0, 0)))
+        return dets, valid.sum()
+
+    return jax.vmap(per_image)(boxes, angle, cls, top_conf, idx)
