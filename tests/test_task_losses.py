@@ -183,3 +183,78 @@ def test_obb_predict_and_rotated_nms():
     assert int(counts[0]) == 2
     kept = np.asarray(dets[0, :2])
     assert {round(float(x)) for x in kept[:, 0]} == {20, 50}
+
+
+def _detr_batch(b=2, m=8):
+    boxes = np.zeros((b, m, 4), np.float32)
+    boxes[:, 0] = [0.5, 0.5, 0.4, 0.3]
+    boxes[:, 1] = [0.25, 0.7, 0.2, 0.2]
+    cls = np.zeros((b, m), np.int64); cls[:, 1] = 2
+    mask = np.zeros((b, m), np.float32); mask[:, :2] = 1.0
+    return {"gt_boxes": boxes, "gt_cls": cls, "gt_mask": mask}
+
+
+def test_hungarian_match_prefers_close_boxes():
+    from yolo_dbl_tpu.losses.detr import hungarian_match
+
+    batch = _detr_batch(b=1)
+    q = 16
+    pb = np.full((1, q, 4), 0.1, np.float32)
+    pb[0, 5] = [0.5, 0.5, 0.4, 0.3]   # exact match for gt 0
+    pb[0, 11] = [0.25, 0.7, 0.2, 0.2] # exact match for gt 1
+    ps = np.full((1, q, 3), -4.0, np.float32)
+    ps[0, 5, 0] = 4.0
+    ps[0, 11, 2] = 4.0
+    idx = hungarian_match(jnp.asarray(pb), jnp.asarray(ps),
+                          jnp.asarray(batch["gt_boxes"]), jnp.asarray(batch["gt_cls"]),
+                          jnp.asarray(batch["gt_mask"]))
+    assert int(idx[0, 0]) == 5 and int(idx[0, 1]) == 11
+
+
+def test_rtdetr_loss_runs_and_improves_with_matching_preds():
+    from yolo_dbl_tpu.losses.detr import rtdetr_loss
+
+    rng = np.random.default_rng(0)
+    b, L, q, nc, m = 2, 3, 32, 3, 8
+    batch = _detr_batch(b=b, m=m)
+
+    def mk(good):
+        dec_b = rng.uniform(0.2, 0.8, (b, L, q, 4)).astype(np.float32)
+        dec_s = rng.normal(-3, 0.5, (b, L, q, nc)).astype(np.float32)
+        enc_b = rng.uniform(0.2, 0.8, (b, q, 4)).astype(np.float32)
+        enc_s = rng.normal(-3, 0.5, (b, q, nc)).astype(np.float32)
+        if good:
+            for arrs in [dec_b[:, l] for l in range(L)] + [enc_b]:
+                arrs[:, 0] = batch["gt_boxes"][:, 0]
+                arrs[:, 1] = batch["gt_boxes"][:, 1]
+            for arrs in [dec_s[:, l] for l in range(L)] + [enc_s]:
+                arrs[:, 0, 0] = 4.0
+                arrs[:, 1, 2] = 4.0
+        return tuple(jnp.asarray(t) for t in (dec_b, dec_s, enc_b, enc_s))
+
+    bad_total, _ = rtdetr_loss(mk(False), batch, nc)
+    good_total, items = rtdetr_loss(mk(True), batch, nc)
+    assert np.isfinite(float(bad_total)) and np.isfinite(float(good_total))
+    assert float(good_total) < float(bad_total)
+    assert float(items["giou"]) < 0.1  # exact boxes -> ~zero giou loss
+
+
+def test_rtdetr_loss_grads_flow():
+    from yolo_dbl_tpu.losses.detr import rtdetr_loss
+
+    rng = np.random.default_rng(1)
+    b, L, q, nc, m = 1, 2, 16, 3, 4
+    batch = _detr_batch(b=b, m=m)
+    args = (rng.uniform(0.2, 0.8, (b, L, q, 4)).astype(np.float32),
+            rng.normal(0, 0.5, (b, L, q, nc)).astype(np.float32),
+            rng.uniform(0.2, 0.8, (b, q, 4)).astype(np.float32),
+            rng.normal(0, 0.5, (b, q, nc)).astype(np.float32))
+
+    def f(*outs):
+        total, _ = rtdetr_loss(outs, batch, nc)
+        return total
+
+    grads = jax.grad(f, argnums=(0, 1, 2, 3))(*map(jnp.asarray, args))
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).sum()) > 0

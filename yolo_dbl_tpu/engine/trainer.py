@@ -48,6 +48,9 @@ def _task_loss(model: DetectionModel, cfg, outputs, batch):
         from ..losses.extra import obb_loss
         det, angles = outputs
         return obb_loss(det, angles, batch, strides, nc, **gains)
+    if head == "RTDETRDecoder":
+        from ..losses.detr import rtdetr_loss
+        return rtdetr_loss(outputs, batch, nc)
     if isinstance(outputs, dict):  # v10Detect end-to-end
         from ..losses.extra import e2e_detect_loss
         total, items = e2e_detect_loss(outputs, batch, strides, nc, **gains)
