@@ -54,6 +54,11 @@ def test_param_parity_with_reference_counts():
         ("yolov12n.yaml", 80): 2572336,
         ("yolov12s.yaml", 80): 9164288,
         ("yolov6n.yaml", 80): 4500080,
+        ("yolov8n-ghost.yaml", 80): 1865316,
+        ("yolov8n-p2.yaml", 80): 3354144,
+        ("yolov8n-p6.yaml", 80): 4984352,
+        ("yolov8n-ghost-p2.yaml", 80): 2033944,
+        ("yolov8n-ghost-p6.yaml", 80): 2901100,
     }
     for (name, nc), ref in golden.items():
         m = DetectionModel(name, nc=nc)

@@ -258,3 +258,58 @@ def test_rtdetr_loss_grads_flow():
     for g in grads:
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).sum()) > 0
+
+
+def test_world_model_parity_and_predict():
+    """YOLO-World: golden counts from the live torch WorldModel (−16 DFL);
+    predict responds to text — nc follows the installed embeddings."""
+    from yolo_dbl_tpu.nn.tasks import WorldModel
+
+    m = WorldModel("yolov8s-world.yaml", nc=80)
+    assert _count(m) == 13383496 - 16
+    m2 = WorldModel("yolov8s-worldv2.yaml", nc=80)
+    assert _count(m2) == 12759880 - 16
+
+    small = WorldModel("yolov8n-world.yaml", nc=4)
+    v = small.init(jax.random.PRNGKey(0), imgsz=64)
+    pred = small.predict(v, jnp.zeros((1, 64, 64, 3)))
+    assert pred.shape == (1, 4 + 4, 84)
+    assert bool(jnp.isfinite(pred).all())
+    # new prompts change the class dimension
+    emb = np.random.default_rng(0).standard_normal((6, 512)).astype(np.float32)
+    small.set_classes(emb, names=[f"c{i}" for i in range(6)])
+    pred6 = small.predict(v, jnp.zeros((1, 64, 64, 3)))
+    assert pred6.shape == (1, 4 + 6, 84)
+
+
+def test_fastsam_everything_and_prompts():
+    from yolo_dbl_tpu.models.fastsam import FastSAM, adjust_bboxes_to_image_border
+
+    fs = FastSAM(scale="n")
+    v = fs.init(jax.random.PRNGKey(0), imgsz=64)
+    img = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    res = fs.everything(v, img, conf=0.0, iou=0.9, max_det=16)
+    assert res["boxes"].shape == (16, 6) and res["masks"].shape == (16, 64, 64)
+    sel = FastSAM.prompt(res, bboxes=[[8, 8, 40, 40]])
+    assert sel["boxes"].shape[0] >= 1  # bbox prompt picks the best-IoU mask
+    with pytest.raises(NotImplementedError):
+        FastSAM.prompt(res, texts=["a photo of a cat"])
+    snapped = adjust_bboxes_to_image_border(np.array([[5.0, 30.0, 620.0, 600.0]]), (640, 640))
+    np.testing.assert_allclose(snapped, [[0.0, 30.0, 620.0, 600.0]])
+
+
+def test_nas_postprocess():
+    from yolo_dbl_tpu.models.nas import NAS, nas_postprocess
+
+    boxes = np.zeros((1, 8, 4), np.float32)
+    boxes[0, 0] = [10, 10, 30, 30]
+    boxes[0, 1] = [11, 10, 30, 30]   # duplicate
+    boxes[0, 2] = [50, 50, 70, 72]
+    scores = np.full((1, 8, 2), 0.01, np.float32)
+    scores[0, 0, 0] = 0.9
+    scores[0, 1, 0] = 0.8
+    scores[0, 2, 1] = 0.7
+    dets, counts = nas_postprocess(boxes, scores, conf=0.25, iou=0.45, max_det=8)
+    assert int(counts[0]) == 2
+    with pytest.raises(FileNotFoundError):
+        NAS("yolo_nas_s")

@@ -157,6 +157,105 @@ class SPPF(nn.Module):
         return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, -1), train)
 
 
+class GhostConv(nn.Module):
+    """Ghost convolution (reference conv.py GhostConv): primary 1x1/kxk conv
+    producing half the channels, cheap 5x5 depthwise producing the rest."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    g: int = 1
+    act: Any = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c2 // 2
+        y = Conv(c_, self.k, self.s, None, self.g, act=self.act, dtype=self.dtype, name="cv1")(x, train)
+        y2 = Conv(c_, 5, 1, None, c_, act=self.act, dtype=self.dtype, name="cv2")(y, train)
+        return jnp.concatenate([y, y2], axis=-1)
+
+
+class GhostBottleneck(nn.Module):
+    """Ghost bottleneck (reference block.py GhostBottleneck): GhostConv →
+    optional stride-2 DWConv → linear GhostConv, with conv shortcut at s=2."""
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c2 // 2
+        y = GhostConv(c_, 1, 1, dtype=self.dtype, name="gc1")(x, train)
+        if self.s == 2:
+            y = DWConv(c_, self.k, self.s, act=False, dtype=self.dtype, name="dw")(y, train)
+        y = GhostConv(self.c2, 1, 1, act=False, dtype=self.dtype, name="gc2")(y, train)
+        if self.s == 2:
+            sc = DWConv(x.shape[-1], self.k, self.s, act=False, dtype=self.dtype, name="sc_dw")(x, train)
+            sc = Conv(self.c2, 1, 1, act=False, dtype=self.dtype, name="sc_pw")(sc, train)
+        else:
+            sc = x
+        return y + sc
+
+
+class C3Ghost(nn.Module):
+    """C3 with GhostBottleneck body (reference block.py C3Ghost)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        a = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        b = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        for i in range(self.n):
+            a = GhostBottleneck(c_, dtype=self.dtype, name=f"m_{i}")(a, train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv3")(jnp.concatenate([a, b], -1), train)
+
+
+class C1(nn.Module):
+    """CSP bottleneck with 1 conv (reference block.py C1)."""
+
+    c2: int
+    n: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = Conv(self.c2, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        z = y
+        for i in range(self.n):
+            z = Conv(self.c2, 3, dtype=self.dtype, name=f"m_{i}")(z, train)
+        return z + y
+
+
+class C2(nn.Module):
+    """CSP bottleneck with 2 convs (reference block.py C2)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = int(self.c2 * self.e)
+        y = Conv(2 * c, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        a, b = y[..., :c], y[..., c:]
+        for i in range(self.n):
+            a = Bottleneck(c, self.shortcut, self.g, k=(3, 3), e=1.0, dtype=self.dtype, name=f"m_{i}")(a, train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv2")(jnp.concatenate([a, b], -1), train)
+
+
 class LightConv(nn.Module):
     """1x1 conv (no act) + depthwise conv (ReLU) — PPHGNetV2 light conv
     (reference conv.py:110)."""

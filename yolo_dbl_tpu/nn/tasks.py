@@ -112,10 +112,11 @@ _C2_SCALED = {
     # v7/v9/v10/v11 family (reference tasks.py:1001-1016)
     "RepGhostBottleneck", "RepLKBlock", "GGhostBottleneck", "GGhostStage",
     "RepConv", "RepCSP", "RepNCSPELAN4", "ELAN1", "ADown", "AConv", "SPPELAN",
-    "SCDown", "C2fCIB", "PSA", "C2PSA", "RepC3",
+    "SCDown", "C2fCIB", "PSA", "C2PSA", "RepC3", "C2fAttn",
+    "C3Ghost", "GhostBottleneck", "C1", "C2",
 }
 _REPEAT_INSERT = {"C2f", "C3", "C3k2", "DSC3k2", "DSC3k", "A2C2f", "C3k2_EFE", "EffBlock", "M2C2f", "C3k2_EAMC",
-                  "C2fCIB", "C2PSA", "RepCSP", "RepC3"}
+                  "C2fCIB", "C2PSA", "RepCSP", "RepC3", "C2fAttn", "C3Ghost", "C1", "C2"}
 _LEGACY_FALSE = {"C3k2", "DSC3k2", "A2C2f"}
 # c1-only modules: yaml arg[0] (if any) is ignored, c2 = c1 (tasks.py:1156-1186)
 _C1_ONLY = {
@@ -166,6 +167,10 @@ def parse_model_spec(d: Dict, ch: int = 3, verbose: bool = False) -> ModelSpec:
             c1, c2 = chs[f], args[0]
             if c2 != nc:
                 c2 = make_divisible(min(c2, max_channels) * width, 8)
+            if m == "C2fAttn":  # embed channels / heads (reference tasks.py:1050)
+                args[1] = make_divisible(min(args[1], max_channels // 2) * width, 8)
+                args[2] = int(max(round(min(args[2], max_channels // 2 // 32)) * width, 1)
+                              if args[2] > 1 else args[2])
             args = [c1, c2, *args[1:]]
             if m in _REPEAT_INSERT:
                 args.insert(2, n)
@@ -234,6 +239,12 @@ def parse_model_spec(d: Dict, ch: int = 3, verbose: bool = False) -> ModelSpec:
                 n = 1
         elif m == "ResNetLayer":
             c2 = args[1] if args[3] else args[1] * 4  # (tasks.py:1101)
+        elif m == "ImagePoolingAttn":
+            args.append([chs[x] for x in f])  # [ec, ch] (reference tasks.py:1107)
+            c2 = chs[f[0]]  # layer output is the text guide; keep a placeholder
+        elif m == "WorldDetect":
+            args.append([chs[x] for x in f])
+            c2 = 0
         elif m == "RTDETRDecoder":
             args.insert(1, [chs[x] for x in f])  # (tasks.py:1113)
             c2 = 0
@@ -438,6 +449,16 @@ def _build_module(spec: LayerSpec, dtype) -> Optional[Any]:
             return B.C2f(a[1], *a[2:], dtype=dtype, name=name)
         if m == "C3":
             return B.C3(a[1], *a[2:], dtype=dtype, name=name)
+        if m == "C3Ghost":
+            return B.C3Ghost(a[1], *a[2:], dtype=dtype, name=name)
+        if m == "GhostConv":
+            return B.GhostConv(a[1], *a[2:], dtype=dtype, name=name)
+        if m == "GhostBottleneck":
+            return B.GhostBottleneck(a[1], *a[2:], dtype=dtype, name=name)
+        if m == "C1":
+            return B.C1(a[1], *a[2:], dtype=dtype, name=name)
+        if m == "C2":
+            return B.C2(a[1], *a[2:], dtype=dtype, name=name)
         if m == "C3k":
             return B.C3k(a[1], *a[2:], dtype=dtype, name=name)
         if m == "C3k2":
@@ -460,6 +481,16 @@ def _build_module(spec: LayerSpec, dtype) -> Optional[Any]:
             return B.RepC3(a[1], *a[2:], dtype=dtype, name=name)
         if m == "ResNetLayer":
             return B.ResNetLayer(a[1], *a[2:], dtype=dtype, name=name)
+        if m == "C2fAttn":
+            from . import world as W
+            return W.C2fAttn(a[1], *a[2:], dtype=dtype, name=name)
+        if m == "ImagePoolingAttn":
+            from . import world as W
+            return W.ImagePoolingAttn(ec=a[0], ch=tuple(a[1]), dtype=dtype, name=name)
+        if m == "WorldDetect":
+            from . import world as W
+            return W.WorldDetect(nc=a[0], embed=a[1], with_bn=a[2], ch=tuple(a[3]),
+                                 dtype=dtype, name=name)
         if m == "RTDETRDecoder":
             from ..models.rtdetr import RTDETRDecoder as _RTD
             return _RTD(nc=a[0], ch=tuple(a[1]), dtype=dtype, name=name)
@@ -538,16 +569,22 @@ class YOLOModel(nn.Module):
                 mods[f"layer{layer.i}"] = built
         self._mods = mods
 
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, text=None):
         # yaml `activation:` overrides the Conv default for this whole trace
         # (reference tasks.py:965 Conv.default_act = eval(act))
         act = self.spec.yaml_dict.get("activation")
         with default_act_ctx(resolve_act(act) if act else None):
-            return self._forward(x, train)
+            return self._forward(x, train, text)
 
-    def _forward(self, x, train: bool = False):
+    def _forward(self, x, train: bool = False, text=None):
         y: List[Optional[jnp.ndarray]] = []
         out = x
+        txt = text  # running guide, updated by ImagePoolingAttn (tasks.py:673)
+        if txt is None and any(
+            l.name in ("C2fAttn", "ImagePoolingAttn", "WorldDetect") for l in self.spec.layers
+        ):
+            # default text buffer, like the reference's randn txt_feats init
+            txt = text = jnp.zeros((x.shape[0], self.spec.nc, 512), x.dtype)
         for layer in self.spec.layers:
             f = layer.f
             if isinstance(f, int):
@@ -559,6 +596,13 @@ class YOLOModel(nn.Module):
                 out = nearest_upsample(inp, int(layer.args[1]) if len(layer.args) > 1 else 2)
             elif layer.name == "Concat":
                 out = jnp.concatenate(inp, axis=-1)
+            elif layer.name == "C2fAttn":
+                out = m(inp, txt, train)
+            elif layer.name == "ImagePoolingAttn":
+                txt = m(inp, txt, train)
+                out = inp  # reference keeps x unchanged (tasks.py:673)
+            elif layer.name == "WorldDetect":
+                out = m(inp, text, train)  # ORIGINAL text (tasks.py:671)
             elif layer.name == "MP":
                 k = int(layer.args[0]) if layer.args else 2
                 out = max_pool(inp, k, k, 0)
@@ -717,3 +761,64 @@ class ClassificationModel(DetectionModel):
         """Logits → (B, nc) softmax probabilities."""
         logits = self.module.apply(variables, x, train=False)
         return jax.nn.softmax(logits, axis=-1)
+
+
+class WorldModel(DetectionModel):
+    """YOLO-World open-vocabulary detector (reference tasks.py:617 WorldModel).
+
+    Text embeddings ride along as a (1, K, 512) array; the reference fills
+    them via CLIP — here `set_classes` accepts precomputed embeddings (CLIP is
+    unavailable in a zero-egress build) and the default buffer is the same
+    random-normal init the reference starts with.
+    """
+
+    def __init__(self, cfg="yolov8s-world.yaml", ch=3, nc=None, dtype=jnp.float32, verbose=False):
+        import numpy as _np
+
+        self._txt_rng = _np.random.default_rng(0)
+        super().__init__(cfg, ch=ch, nc=nc, dtype=dtype, verbose=verbose)
+        self.txt_feats = jnp.asarray(
+            self._txt_rng.standard_normal((1, self.nc, 512)), jnp.float32)
+
+    def set_classes(self, embeddings, names=None):
+        """Install precomputed text embeddings (reference set_classes without
+        the CLIP encode step)."""
+        emb = jnp.asarray(embeddings, jnp.float32)
+        if emb.ndim == 2:
+            emb = emb[None]
+        self.txt_feats = emb / jnp.clip(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+        self.nc = emb.shape[1]
+        if names is not None:
+            self.names = dict(enumerate(names))
+
+    def _text(self, batch):
+        t = self.txt_feats
+        return jnp.broadcast_to(t, (batch, *t.shape[1:])) if t.shape[0] != batch else t
+
+    def _probe_strides(self, ch, probe=256):
+        x = jnp.zeros((1, probe, probe, ch), dtype=jnp.float32)
+        txt = jnp.zeros((1, self.spec.nc, 512), jnp.float32)
+        shapes = jax.eval_shape(
+            lambda v, xx: self.module.apply(v, xx, train=False, text=txt),
+            jax.eval_shape(lambda xx: self.module.init(jax.random.PRNGKey(0), xx, text=txt), x),
+            x,
+        )
+        return tuple(int(probe // s.shape[1]) for s in shapes)
+
+    def init(self, rng, imgsz=640, batch=1):
+        x = jnp.zeros((batch, imgsz, imgsz, 3), dtype=jnp.float32)
+        variables = self.module.init(rng, x, text=self._text(batch))
+        return self._bias_init(variables)
+
+    def apply(self, variables, x, train=False, mutable=None, rngs=None, text=None):
+        kwargs = {}
+        if mutable is not None:
+            kwargs["mutable"] = mutable
+        if rngs is not None:
+            kwargs["rngs"] = rngs
+        t = text if text is not None else self._text(x.shape[0])
+        return self.module.apply(variables, x, train=train, text=t, **kwargs)
+
+    def predict(self, variables, x, text=None):
+        feats = self.apply(variables, x, text=text)
+        return decode_detections(feats, self.strides, self.nc, self.reg_max)

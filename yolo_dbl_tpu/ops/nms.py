@@ -47,7 +47,7 @@ def _suppress(boxes, scores, iou_thres):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_det", "pre_nms_topk", "nc", "multi_label", "class_agnostic", "in_format"),
+    static_argnames=("max_det", "pre_nms_topk", "nc", "multi_label", "class_agnostic", "in_format", "return_idx"),
 )
 def non_max_suppression(
     prediction,
@@ -59,6 +59,7 @@ def non_max_suppression(
     multi_label=True,
     class_agnostic=False,
     in_format="no_a",
+    return_idx=False,
 ):
     """Batched fixed-shape NMS.
 
@@ -119,11 +120,18 @@ def non_max_suppression(
         dets = jnp.concatenate(
             [final_boxes, final_scores[:, None], final_cls[:, None]], axis=-1
         )
+        final_anchor = jnp.where(valid, anchor_idx[order], 0).astype(jnp.int32)
         if n_out < max_det:
             dets = jnp.pad(dets, ((0, max_det - n_out), (0, 0)))
-        return dets, valid.sum().astype(jnp.int32)
+            final_anchor = jnp.pad(final_anchor, (0, max_det - n_out))
+        return dets, valid.sum().astype(jnp.int32), final_anchor
 
-    return jax.vmap(one_image)(boxes, scores_all)
+    dets, counts, anchors = jax.vmap(one_image)(boxes, scores_all)
+    if return_idx:
+        # anchor index per kept row — lets callers gather side channels
+        # (mask coefficients, keypoints) for the surviving detections
+        return dets, counts, anchors
+    return dets, counts
 
 
 @functools.partial(jax.jit, static_argnames=("max_det", "pre_nms_topk", "nc"))
