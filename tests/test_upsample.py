@@ -173,3 +173,56 @@ def test_pig_family():
         out = m.apply(v, x)
         assert out.shape == x.shape, type(m).__name__
         assert np.isfinite(np.asarray(out)).all(), type(m).__name__
+
+
+def test_anyup_and_jafar_shapes():
+    """AnyUp/JAFAR attention upsamplers emit requested resolution, preserve
+    channel count, and the AnyUp window mask localizes attention."""
+    from yolo_dbl_tpu.nn.upsample import AnyUp, AnyUpPack, JAFAR
+    from yolo_dbl_tpu.nn.upsample.attn_up import window_attention_bias
+
+    img = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    feats = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 48))
+    m = AnyUp(input_dim=3, qk_dim=64)
+    v = m.init(jax.random.PRNGKey(2), img, feats, (32, 32))
+    y = m.apply(v, img, feats, (32, 32))
+    assert y.shape == (1, 32, 32, 48) and bool(jnp.isfinite(y).all())
+    # attention mixes raw values -> rows are convex combos (bounded by extremes)
+    assert float(y.max()) <= float(feats.max()) + 1e-5
+    assert float(y.min()) >= float(feats.min()) - 1e-5
+
+    j = JAFAR(input_dim=3, qk_dim=64, v_dim=48)
+    vj = j.init(jax.random.PRNGKey(3), img, feats, (16, 16))
+    yj = j.apply(vj, img, feats, (16, 16))
+    assert yj.shape == (1, 16, 16, 48) and bool(jnp.isfinite(yj).all())
+
+    p = AnyUpPack(in_channels=48, qk_dim=64)
+    vp = p.init(jax.random.PRNGKey(4), feats)
+    assert p.apply(vp, feats).shape == feats.shape
+
+    bias = window_attention_bias(16, 16, 8, 8, 0.1)
+    assert bias.shape == (256, 64)
+    # corner query only attends near the corner of the low-res grid
+    row0 = np.asarray(bias[0]).reshape(8, 8)
+    assert np.isfinite(row0[0, 0]) and not np.isfinite(row0[7, 7])
+
+
+def test_loftup_and_dlupack():
+    """LoftUp: image-res output; DLUPack: x2 CARAFE with deformable kernels
+    (zero-init offsets -> output within the input value range)."""
+    from yolo_dbl_tpu.nn.upsample import DLUPack, LoftUp
+
+    img = jax.random.normal(jax.random.PRNGKey(0), (1, 24, 24, 3))
+    lr = jax.random.normal(jax.random.PRNGKey(1), (1, 6, 6, 32))
+    m = LoftUp(dim=32, n_freqs=8)
+    v = m.init(jax.random.PRNGKey(2), lr, img)
+    y = m.apply(v, lr, img)
+    assert y.shape == (1, 24, 24, 32) and bool(jnp.isfinite(y).all())
+
+    d = DLUPack(channels=32)
+    vd = d.init(jax.random.PRNGKey(3), lr)
+    yd = d.apply(vd, lr)
+    assert yd.shape == (1, 12, 12, 32)
+    # softmax kernels -> convex combination of the neighborhood
+    assert float(yd.max()) <= float(lr.max()) + 1e-5
+    assert float(yd.min()) >= float(lr.min()) - 1e-5

@@ -88,7 +88,7 @@ def bilinear_upsample(x, scale: int = 2, align_corners: bool = True):
     return jnp.einsum("pw,bowc->bopc", mw, y)
 
 
-def grid_sample_bilinear(x, coords, padding_mode: str = "border"):
+def grid_sample_bilinear(x, coords, padding_mode: str = "border", align_corners: bool = False):
     """Bilinear grid sample, align_corners=False, 'border' or 'zeros' padding.
 
     Matches torch.nn.functional.grid_sample(x, grid, mode='bilinear',
@@ -103,8 +103,12 @@ def grid_sample_bilinear(x, coords, padding_mode: str = "border"):
         (B, Ho, Wo, C) sampled features.
     """
     b, h, w, c = x.shape
-    gx = (coords[..., 0] + 1.0) * (w / 2.0) - 0.5  # unnormalize (align_corners=False)
-    gy = (coords[..., 1] + 1.0) * (h / 2.0) - 0.5
+    if align_corners:
+        gx = (coords[..., 0] + 1.0) * (w - 1) / 2.0
+        gy = (coords[..., 1] + 1.0) * (h - 1) / 2.0
+    else:
+        gx = (coords[..., 0] + 1.0) * (w / 2.0) - 0.5
+        gy = (coords[..., 1] + 1.0) * (h / 2.0) - 0.5
     return sample_bilinear_pixel(x, gy, gx, padding_mode)
 
 
