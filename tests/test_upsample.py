@@ -226,3 +226,33 @@ def test_loftup_and_dlupack():
     # softmax kernels -> convex combination of the neighborhood
     assert float(yd.max()) <= float(lr.max()) + 1e-5
     assert float(yd.min()) >= float(lr.min()) - 1e-5
+
+
+def test_fga_sfau_eqsr():
+    """FGA (×2/×4), SFAU (guided fusion), EQSR (HAT SR) forward shapes."""
+    from yolo_dbl_tpu.nn.upsample import EQSR, FGA, SFAU
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 32))
+    f = FGA(dim=32, out_dim=16, upscale=2)
+    v = f.init(jax.random.PRNGKey(1), x)
+    y = f.apply(v, x)
+    assert y.shape == (1, 16, 16, 16) and bool(jnp.isfinite(y).all())
+    f4 = FGA(dim=32, out_dim=16, upscale=4)
+    v4 = f4.init(jax.random.PRNGKey(2), x)
+    assert f4.apply(v4, x).shape == (1, 32, 32, 16)
+
+    ms = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 8, 4))
+    pan = jax.random.normal(jax.random.PRNGKey(4), (1, 16, 16, 1))
+    sf = SFAU(y_channels=1, x_channels=4)
+    vs = sf.init(jax.random.PRNGKey(5), ms, pan)
+    fin, sapa, enc = sf.apply(vs, ms, pan)
+    assert fin.shape == sapa.shape == enc.shape == (1, 16, 16, 4)
+    # softmaxed local attention -> bounded by value extremes
+    assert float(sapa.max()) <= float(ms.max()) + 1e-4
+
+    img = jax.random.uniform(jax.random.PRNGKey(6), (1, 16, 16, 3))
+    e = EQSR(embed_dim=48, depths=(2,), num_heads=(4,), window_size=8,
+             upscale=2, num_feat=32)
+    ve = e.init(jax.random.PRNGKey(7), img)
+    ye = e.apply(ve, img)
+    assert ye.shape == (1, 32, 32, 3) and bool(jnp.isfinite(ye).all())

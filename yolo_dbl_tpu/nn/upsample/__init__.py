@@ -5,6 +5,9 @@ reference name. DySample lives in nn/blocks.py (it's on the DBL hot path).
 """
 
 from .batch3 import C3k2_EAMC, CARAFEplusplus, DyT, LDA_AQU, M2C2f, MBlock, WindowMHSA
+from .eqsr import EQSR
+from .fga import FGA, SubPixelMLP
+from .sfau import SFAU
 from .attn_up import AnyUp, AnyUpPack, JAFAR, RoPE as UpRoPE
 from .loftup_dlu import DLUPack, ImplicitFeaturizer, LoftUp
 from .pig import C2f_PIG, C2f_WT, InceptionDWConv2d, WTConv2d, wavelet_transform, inverse_wavelet_transform
@@ -28,6 +31,7 @@ from .misc import (
 
 __all__ = [
     "AnyUp", "AnyUpPack", "JAFAR", "LoftUp", "DLUPack", "ImplicitFeaturizer",
+    "FGA", "SFAU", "EQSR", "SubPixelMLP",
     "C2f_PIG",
     "C2f_WT",
     "InceptionDWConv2d",
