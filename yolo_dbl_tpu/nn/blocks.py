@@ -382,6 +382,86 @@ class ResNetLayer(nn.Module):
         return x
 
 
+class SPP(nn.Module):
+    """Classic spatial pyramid pooling (reference block.py:162): parallel
+    maxpools (5, 9, 13) around a channel-halving 1x1 conv."""
+
+    c2: int
+    k: tuple = (5, 9, 13)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = x.shape[-1] // 2
+        y = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        ys = [y] + [max_pool(y, k, 1, k // 2) for k in self.k]
+        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, -1), train)
+
+
+class C3_Faster(nn.Module):
+    """C3 with FasterNet partial-conv blocks (FFCA-YOLO-L.yaml; the torch
+    reference references this module without shipping it — implemented here
+    so FFCA-YOLO-L runs)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from .structures import FasterBlock
+
+        c_ = int(self.c2 * self.e)
+        a = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        b = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        for i in range(self.n):
+            a = FasterBlock(c_, c_, dtype=self.dtype, name=f"m_{i}")(a, train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv3")(jnp.concatenate([a, b], -1), train)
+
+
+class CBLinear(nn.Module):
+    """YOLOv9e cross-branch linear (reference block.py:684): one conv whose
+    output is split into a tuple of per-branch channel groups."""
+
+    c2s: tuple
+    k: int = 1
+    s: int = 1
+    g: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from .common import autopad, _pad_spec
+
+        p = autopad(self.k, None)
+        y = nn.Conv(sum(self.c2s), (self.k, self.k), strides=(self.s, self.s),
+                    padding=_pad_spec(p), feature_group_count=self.g,
+                    use_bias=True, dtype=self.dtype, name="conv")(x)
+        outs, start = [], 0
+        for c in self.c2s:
+            outs.append(y[..., start:start + c])
+            start += c
+        return tuple(outs)
+
+
+def cb_fuse(xs, idx):
+    """YOLOv9e cross-branch fuse (reference block.py:698): pick branch
+    idx[i] from each CBLinear tuple, nearest-resize to the last input's
+    spatial size, and sum everything."""
+    target = xs[-1].shape[1:3]
+    res = []
+    for i, x in enumerate(xs[:-1]):
+        t = x[idx[i]]
+        b, h, w, c = t.shape
+        if (h, w) != tuple(target):
+            t = jax.image.resize(t, (b, target[0], target[1], c), "nearest")
+        res.append(t)
+    return sum(res) + xs[-1]
+
+
 class SPPCSPC(nn.Module):
     """YOLOv7 CSP spatial pyramid pooling (cfg/models/v7/yolov7.yaml head; the
     torch reference ships the yaml display-only without this module — we

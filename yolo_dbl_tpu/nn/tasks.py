@@ -113,10 +113,10 @@ _C2_SCALED = {
     "RepGhostBottleneck", "RepLKBlock", "GGhostBottleneck", "GGhostStage",
     "RepConv", "RepCSP", "RepNCSPELAN4", "ELAN1", "ADown", "AConv", "SPPELAN",
     "SCDown", "C2fCIB", "PSA", "C2PSA", "RepC3", "C2fAttn",
-    "C3Ghost", "GhostBottleneck", "C1", "C2",
+    "C3Ghost", "GhostBottleneck", "C1", "C2", "SPP", "C3_Faster",
 }
 _REPEAT_INSERT = {"C2f", "C3", "C3k2", "DSC3k2", "DSC3k", "A2C2f", "C3k2_EFE", "EffBlock", "M2C2f", "C3k2_EAMC",
-                  "C2fCIB", "C2PSA", "RepCSP", "RepC3", "C2fAttn", "C3Ghost", "C1", "C2"}
+                  "C2fCIB", "C2PSA", "RepCSP", "RepC3", "C2fAttn", "C3Ghost", "C1", "C2", "C3_Faster"}
 _LEGACY_FALSE = {"C3k2", "DSC3k2", "A2C2f"}
 # c1-only modules: yaml arg[0] (if any) is ignored, c2 = c1 (tasks.py:1156-1186)
 _C1_ONLY = {
@@ -160,6 +160,9 @@ def parse_model_spec(d: Dict, ch: int = 3, verbose: bool = False) -> ModelSpec:
                     args[j] = ast.literal_eval(a)
                 except (ValueError, SyntaxError):
                     pass
+        # an `anchors` arg without a top-level anchors key (FFCA-YOLO-L.yaml)
+        # is a stale placeholder for the anchor-free Detect — drop it
+        args = [a for a in args if not (isinstance(a, str) and a == "anchors")]
         n_ = n
         n = max(round(n * depth), 1) if n > 1 else n
 
@@ -210,6 +213,14 @@ def parse_model_spec(d: Dict, ch: int = 3, verbose: bool = False) -> ModelSpec:
         elif m in _C1_ONLY:
             c1 = c2 = chs[f]
             args = [c1, *args[1:]]
+        elif m == "FFM_Concat2":
+            # (reference tasks.py:1150): [dim, c//2, c//2]
+            c2 = sum(chs[x] for x in f)
+            args = [args[0], c2 // 2, c2 // 2]
+        elif m == "FFM_Concat3":
+            # (reference tasks.py:1153): [dim, c//4, c//2, c//4]
+            c2 = sum(chs[x] for x in f)
+            args = [args[0], c2 // 4, c2 // 2, c2 // 4]
         elif m == "Concat":
             c2 = sum(chs[x] for x in f)
         elif m == "v10Detect":
@@ -250,6 +261,14 @@ def parse_model_spec(d: Dict, ch: int = 3, verbose: bool = False) -> ModelSpec:
             c2 = 0
         elif m in ("MP", "SP"):
             c2 = chs[f]  # parameter-free maxpool (yolov7)
+        elif m in ("nn.MaxPool2d", "nn.ZeroPad2d", "nn.Identity", "Silence"):
+            c2 = chs[f]  # parameter-free torch layers (v3-tiny, v9e)
+        elif m == "CBLinear":
+            # c2 is the list of branch widths (reference tasks.py:1115)
+            c1, c2 = chs[f], args[0]
+            args = [c1, c2, *args[1:]]
+        elif m == "CBFuse":
+            c2 = chs[f[-1]]  # (reference tasks.py:1119)
         elif m == "SPPCSPC":
             c1, c2 = chs[f], args[0]
             if c2 != nc:
@@ -471,6 +490,12 @@ def _build_module(spec: LayerSpec, dtype) -> Optional[Any]:
             return B.DSBottleneck(a[1], *a[2:], dtype=dtype, name=name)
         if m == "SPPF":
             return B.SPPF(a[1], *a[2:], dtype=dtype, name=name)
+        if m == "SPP":
+            return B.SPP(a[1], tuple(a[2]) if len(a) > 2 else (5, 9, 13), dtype=dtype, name=name)
+        if m == "C3_Faster":
+            return B.C3_Faster(a[1], *a[2:], dtype=dtype, name=name)
+        if m == "CBLinear":
+            return B.CBLinear(tuple(a[1]), *a[2:], dtype=dtype, name=name)
         if m == "SPPCSPC":
             return B.SPPCSPC(a[1], *a[2:], dtype=dtype, name=name)
         if m == "HGStem":
@@ -542,7 +567,8 @@ def _build_module(spec: LayerSpec, dtype) -> Optional[Any]:
         if m == "Classify":
             from .heads import Classify
             return Classify(a[1], dtype=dtype, name=name)
-        if m in ("Upsample", "Concat", "MP", "SP"):
+        if m in ("Upsample", "Concat", "MP", "SP", "CBFuse",
+                 "nn.MaxPool2d", "nn.ZeroPad2d", "nn.Identity", "Silence"):
             return None  # parameter-free, handled inline
         raise NotImplementedError(f"module '{m}' not registered in the TPU build yet")
 
@@ -603,6 +629,19 @@ class YOLOModel(nn.Module):
                 out = inp  # reference keeps x unchanged (tasks.py:673)
             elif layer.name == "WorldDetect":
                 out = m(inp, text, train)  # ORIGINAL text (tasks.py:671)
+            elif layer.name == "CBFuse":
+                out = B.cb_fuse(inp, layer.args[0])
+            elif layer.name == "nn.MaxPool2d":
+                a = layer.args
+                k = int(a[0]) if a else 2
+                st = int(a[1]) if len(a) > 1 else k
+                pd = int(a[2]) if len(a) > 2 else 0
+                out = max_pool(inp, k, st, pd)
+            elif layer.name == "nn.ZeroPad2d":
+                l, r, t, bt = layer.args[0]
+                out = jnp.pad(inp, ((0, 0), (t, bt), (l, r), (0, 0)))
+            elif layer.name in ("nn.Identity", "Silence"):
+                out = inp
             elif layer.name == "MP":
                 k = int(layer.args[0]) if layer.args else 2
                 out = max_pool(inp, k, k, 0)

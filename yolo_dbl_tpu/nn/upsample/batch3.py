@@ -58,14 +58,14 @@ class WindowMHSA(nn.Module):
         xp = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
         hp, wp = h + ph, w + pw
         hd = c // self.num_heads
-        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(xp)
+        qkv = nn.Dense(3 * c, use_bias=False, dtype=self.dtype, name="qkv")(xp)
         wins = qkv.reshape(b, hp // ws, ws, wp // ws, ws, 3 * c).transpose(0, 1, 3, 2, 4, 5)
         wins = wins.reshape(-1, ws * ws, 3, self.num_heads, hd)
         q, k, v = wins[:, :, 0], wins[:, :, 1], wins[:, :, 2]
         attn = jax.nn.softmax(jnp.einsum("bnhd,bmhd->bhnm", q * hd**-0.5, k), axis=-1)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(-1, ws, ws, c)
         out = out.reshape(b, hp // ws, wp // ws, ws, ws, c).transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, c)
-        out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
+        out = nn.Dense(c, use_bias=False, dtype=self.dtype, name="proj")(out)
         return out[:, :h, :w]
 
 

@@ -273,8 +273,8 @@ class SCAM(nn.Module):
         y_avg = jnp.einsum("bc,bnc->bn", avg_, v).reshape(b, h, w, 1)
         y_max = jnp.einsum("bc,bnc->bn", max_, v).reshape(b, h, w, 1)
         y_cat = jnp.concatenate([y_avg, y_max], axis=-1)
-        # m: conv without BN (+SiLU), m2: Conv with BN+SiLU
-        y_ch = nn.silu(Conv2d(c, 1, dtype=self.dtype, name="m")(y_ch))
+        # m: bias-free conv without BN (+SiLU), m2: Conv with BN+SiLU
+        y_ch = nn.silu(Conv2d(c, 1, bias=False, dtype=self.dtype, name="m")(y_ch))
         gate = nn.sigmoid(Conv(1, 1, dtype=self.dtype, name="m2")(y_cat, train))
         return x + y_ch * gate
 
