@@ -154,3 +154,33 @@ def test_inference_loaders(shapes_root, tmp_path):
     assert len(list(LoadTensor(arr))) == 2
     assert len(list(LoadPilAndNumpy([arr[0], arr[1]]))) == 2
     assert isinstance(load_inference_source(str(img_dir)), LoadImagesAndVideos)
+
+
+def test_dataset_yaml_recipe(tmp_path):
+    """check_det_dataset resolves recipe yamls; YOLODataset loads through one."""
+    import yaml as _yaml
+
+    from yolo_dbl_tpu.data.dataset import YOLODataset
+    from yolo_dbl_tpu.data.utils import check_det_dataset
+    from .fixtures import make_shapes_dataset
+
+    root = tmp_path / "shapes"
+    make_shapes_dataset(root, n_train=4, n_val=2, imgsz=96)
+    recipe = tmp_path / "shapes.yaml"
+    recipe.write_text(_yaml.safe_dump({
+        "path": str(root), "train": "images/train", "val": "images/val",
+        "names": {0: "circle", 1: "square", 2: "triangle"},
+    }))
+    info = check_det_dataset(recipe)
+    assert info["nc"] == 3 and info["names"][1] == "square"
+    assert info["train"].is_dir() and info["val"].is_dir()
+    ds = YOLODataset(str(recipe), split="val", imgsz=96)
+    assert len(ds) == 2 and ds.names[2] == "triangle"
+    # bundled recipes parse (data itself not present in this image)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        check_det_dataset("coco8.yaml")
+    # a directory still resolves like before
+    d2 = check_det_dataset(root)
+    assert d2["train"].is_dir()

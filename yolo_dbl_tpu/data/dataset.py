@@ -23,13 +23,25 @@ IMG_EXTS = {".jpg", ".jpeg", ".png", ".bmp", ".webp", ".tif", ".tiff"}
 
 class YOLODataset:
     def __init__(self, root, split: str = "train", imgsz: int = 640, cache_images: bool = False,
-                 names: Optional[Dict[int, str]] = None):
+                 names: Optional[Dict[int, str]] = None, img_dir=None):
+        if img_dir is None and isinstance(root, (str, Path)) and str(root).endswith((".yaml", ".yml")):
+            # dataset recipe yaml (reference data/utils.py check_det_dataset)
+            from .utils import check_det_dataset
+
+            info = check_det_dataset(root)
+            img_dir = info["val"] if split in ("val", "test") and info["val"] else info["train"]
+            root = info["root"]
+            if names is None:
+                names = info["names"]
         self.root = Path(root)
-        img_dir = self.root / "images" / split
-        if not img_dir.is_dir():
-            img_dir = self.root / "images"
-        if not img_dir.is_dir():
-            img_dir = self.root / split / "images"
+        if img_dir is not None:
+            img_dir = Path(img_dir)
+        else:
+            img_dir = self.root / "images" / split
+            if not img_dir.is_dir():
+                img_dir = self.root / "images"
+            if not img_dir.is_dir():
+                img_dir = self.root / split / "images"
         if not img_dir.is_dir():
             raise FileNotFoundError(f"no images directory under {self.root}")
         self.im_files: List[Path] = sorted(
