@@ -132,3 +132,21 @@ def test_mobile_batch2():
     m = MFA(64, output_resolution=8)
     v = m.init(jax.random.PRNGKey(5), xs)
     assert m.apply(v, xs).shape == (1, 8, 8, 64)
+
+
+def test_mobilenetv3_parity_and_forward():
+    """MobileNetV3 large/small: exact param parity with the torch reference
+    (verified live: 5483032 / 2542856) and a forward pass."""
+    from yolo_dbl_tpu.nn.structures import mobilenetv3_large, mobilenetv3_small
+
+    m = mobilenetv3_small(num_classes=10)
+    x = jnp.zeros((1, 64, 64, 3))
+    v = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(v, x)
+    assert y.shape == (1, 10) and bool(jnp.isfinite(y).all())
+    big = mobilenetv3_large()
+    vb = jax.eval_shape(lambda: big.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3))))
+    assert sum(p.size for p in jax.tree_util.tree_leaves(vb["params"])) == 5483032
+    sm = mobilenetv3_small()
+    vs = jax.eval_shape(lambda: sm.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3))))
+    assert sum(p.size for p in jax.tree_util.tree_leaves(vs["params"])) == 2542856
