@@ -313,3 +313,46 @@ def test_nas_postprocess():
     assert int(counts[0]) == 2
     with pytest.raises(FileNotFoundError):
         NAS("yolo_nas_s")
+
+
+@pytest.mark.parametrize("task,model_yaml,extra_key", [
+    ("segment", "yolov8n-seg.yaml", "gt_masks"),
+    ("pose", "yolov8n-pose.yaml", "gt_kpts"),
+    ("obb", "yolov8n-obb.yaml", None),
+])
+def test_task_dataloader_and_train_step(tmp_path, task, model_yaml, extra_key):
+    """Task datasets load real labels; one jitted train step runs through the
+    task-dispatched loss with the loader's padded batch."""
+    from yolo_dbl_tpu.cfg import get_cfg
+    from yolo_dbl_tpu.data.build import DataLoader
+    from yolo_dbl_tpu.data.dataset import YOLODataset
+    from yolo_dbl_tpu.engine.train_state import build_optimizer, create_train_state
+    from yolo_dbl_tpu.engine.trainer import make_train_step
+    from .fixtures import make_task_dataset
+
+    root = make_task_dataset(tmp_path / task, task=task, imgsz=96)
+    ds = YOLODataset(root, split="train", imgsz=96, task=task)
+    loader = DataLoader(ds, batch_size=2, imgsz=96, max_gt=8, task=task, prefetch=0)
+    batch = next(iter(loader))
+    assert batch["img"].shape == (2, 96, 96, 3)
+    if task == "obb":
+        assert batch["gt_boxes"].shape == (2, 8, 5)
+        assert float(batch["gt_mask"].sum()) > 0
+    else:
+        assert extra_key in batch
+        if task == "segment":
+            assert batch["gt_masks"].shape == (2, 8, 24, 24)
+            assert float(batch["gt_masks"].sum()) > 0  # polygons rasterized
+        else:
+            assert batch["gt_kpts"].shape == (2, 8, 17, 3)
+
+    m = DetectionModel(model_yaml, nc=2)
+    v = m.init(jax.random.PRNGKey(0), imgsz=96)
+    cfg = get_cfg(overrides={"optimizer": "SGD", "epochs": 1, "imgsz": 96, "batch": 2})
+    tx, _ = build_optimizer(v["params"], 2, cfg, steps_per_epoch=2)
+    state = create_train_state(v, tx)
+    step = jax.jit(make_train_step(m, cfg, tx))
+    jb = {k: jnp.asarray(val) for k, val in batch.items() if k not in ("labels", "indices")}
+    state2, metrics = step(state, jb, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.step) == 1

@@ -270,7 +270,23 @@ class ValTransforms:
 
     def __call__(self, dataset, index, rng=None):
         img, labels = dataset.load_resized(index, self.imgsz)
+        h_pre, w_pre = img.shape[:2]
         img, gain, pad = letterbox(img, (self.imgsz, self.imgsz), scaleup=False)
         labels = {**labels, "boxes": apply_letterbox_to_boxes(labels["boxes"], gain, pad),
                   "ratio_pad": (gain, pad)}
+        # task side channels follow the same affine
+        if "segments" in labels:
+            labels["segments"] = [p * gain + np.asarray(pad, np.float32) for p in labels["segments"]]
+        if "keypoints" in labels and len(labels["keypoints"]):
+            kp = labels["keypoints"].copy()
+            kp[..., 0] = kp[..., 0] * gain + pad[0]
+            kp[..., 1] = kp[..., 1] * gain + pad[1]
+            labels["keypoints"] = kp
+        if "rboxes" in labels and len(labels["rboxes"]):
+            rb = labels["rboxes"].copy()  # normalized xywhr on the source img
+            rb[:, 0] = (rb[:, 0] * w_pre * gain + pad[0]) / self.imgsz
+            rb[:, 1] = (rb[:, 1] * h_pre * gain + pad[1]) / self.imgsz
+            rb[:, 2] = rb[:, 2] * w_pre * gain / self.imgsz
+            rb[:, 3] = rb[:, 3] * h_pre * gain / self.imgsz
+            labels["rboxes"] = rb
         return img, labels

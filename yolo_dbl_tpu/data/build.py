@@ -40,6 +40,51 @@ def format_batch(images, labels_list, imgsz: int, max_gt: int) -> Dict[str, np.n
     return {"img": img, "gt_boxes": gt_boxes, "gt_cls": gt_cls, "gt_mask": gt_mask}
 
 
+def format_batch_task(images, labels_list, imgsz: int, max_gt: int, task: str = "detect",
+                      mask_ratio: int = 4, kpt_shape=(17, 3)) -> Dict[str, np.ndarray]:
+    """format_batch plus the task-specific padded targets: gt_masks
+    (B, M, Hm, Wm) rasterized at the prototype resolution for segment,
+    gt_kpts (B, M, K, 3) normalized xy for pose, 5-column normalized xywhr
+    gt_boxes for obb (reference dataset.py Format transform)."""
+    batch = format_batch(images, labels_list, imgsz, max_gt)
+    b = len(images)
+    if task == "segment":
+        import cv2 as _cv2
+
+        hm = wm = imgsz // mask_ratio
+        gt_masks = np.zeros((b, max_gt, hm, wm), np.float32)
+        for i, lab in enumerate(labels_list):
+            for j, poly in enumerate(lab.get("segments", [])[:max_gt]):
+                m = np.zeros((hm, wm), np.uint8)
+                pts = (np.asarray(poly, np.float32) / mask_ratio).astype(np.int32)
+                _cv2.fillPoly(m, [pts], 1)
+                gt_masks[i, j] = m
+        batch["gt_masks"] = gt_masks
+    elif task == "pose":
+        k, nd = kpt_shape
+        gt_kpts = np.zeros((b, max_gt, k, nd), np.float32)
+        for i, lab in enumerate(labels_list):
+            kp = lab.get("keypoints")
+            if kp is not None and len(kp):
+                n = min(len(kp), max_gt)
+                kk = kp[:n].astype(np.float32).copy()
+                kk[..., 0] /= imgsz  # back to [0, 1] (loss contract)
+                kk[..., 1] /= imgsz
+                gt_kpts[i, :n] = kk[:, :k]
+        batch["gt_kpts"] = gt_kpts
+    elif task == "obb":
+        gt5 = np.zeros((b, max_gt, 5), np.float32)
+        for i, lab in enumerate(labels_list):
+            rb = lab.get("rboxes")
+            if rb is not None and len(rb):
+                n = min(len(rb), max_gt)
+                gt5[i, :n] = rb[:n]
+                batch["gt_mask"][i, :n] = 1.0
+                batch["gt_cls"][i, :n] = lab["cls"][:n]
+        batch["gt_boxes"] = gt5
+    return batch
+
+
 class DataLoader:
     """Simple epoch iterator with background prefetch thread.
 
@@ -51,8 +96,13 @@ class DataLoader:
     def __init__(self, dataset: YOLODataset, batch_size: int = 16, imgsz: int = 640,
                  augment: bool = True, hyp: Optional[dict] = None, max_gt: int = 64,
                  shuffle: Optional[bool] = None, seed: int = 0, drop_last: bool = True,
-                 prefetch: int = 2):
+                 prefetch: int = 2, task: Optional[str] = None):
         self.dataset = dataset
+        self.task = task or getattr(dataset, "task", "detect")
+        if self.task != "detect":
+            # geometric mosaic/perspective do not yet carry mask/kpt side
+            # channels — non-detect tasks run the letterbox-only path
+            augment = False
         self.batch_size = batch_size
         self.imgsz = imgsz
         self.max_gt = max_gt
@@ -85,7 +135,10 @@ class DataLoader:
                 img, lab = self.transforms(self.dataset, int(j), rng)
                 images.append(img)
                 labels.append(lab)
-            batch = format_batch(images, labels, self.imgsz, self.max_gt)
+            if self.task != "detect":
+                batch = format_batch_task(images, labels, self.imgsz, self.max_gt, self.task)
+            else:
+                batch = format_batch(images, labels, self.imgsz, self.max_gt)
             batch["indices"] = np.asarray(idxs)
             if not self.augment:
                 batch["labels"] = labels  # keep eval metadata (ratio_pad, orig_shape)

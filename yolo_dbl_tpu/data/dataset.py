@@ -23,7 +23,8 @@ IMG_EXTS = {".jpg", ".jpeg", ".png", ".bmp", ".webp", ".tif", ".tiff"}
 
 class YOLODataset:
     def __init__(self, root, split: str = "train", imgsz: int = 640, cache_images: bool = False,
-                 names: Optional[Dict[int, str]] = None, img_dir=None):
+                 names: Optional[Dict[int, str]] = None, img_dir=None, task: str = "detect"):
+        self.task = task
         if img_dir is None and isinstance(root, (str, Path)) and str(root).endswith((".yaml", ".yml")):
             # dataset recipe yaml (reference data/utils.py check_det_dataset)
             from .utils import check_det_dataset
@@ -64,18 +65,43 @@ class YOLODataset:
         return Path(*parts).with_suffix(".txt")
 
     def _read_label(self, img_path: Path) -> Dict:
+        """Parse one YOLO label file by task (reference data/utils.py
+        verify_image_label): detect `cls xywh`; segment `cls poly…`; pose
+        `cls xywh (x y v)×K`; obb `cls x1 y1 … x4 y4` (DOTA corners)."""
         lp = self._label_path(img_path)
-        boxes, cls = [], []
+        boxes, cls, segs, kpts = [], [], [], []
         if lp.is_file():
             for line in lp.read_text().splitlines():
-                vals = line.split()
-                if len(vals) >= 5:
-                    cls.append(int(float(vals[0])))
-                    boxes.append([float(v) for v in vals[1:5]])
-        return {
-            "xywhn": np.array(boxes, np.float32).reshape(-1, 4),
+                vals = [float(v) for v in line.split()]
+                if len(vals) < 5:
+                    continue
+                cls.append(int(vals[0]))
+                if self.task == "segment":
+                    poly = np.array(vals[1:], np.float32).reshape(-1, 2)
+                    segs.append(poly)
+                    x1, y1 = poly.min(0)
+                    x2, y2 = poly.max(0)
+                    boxes.append([(x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1])
+                elif self.task == "pose":
+                    boxes.append(vals[1:5])
+                    kpts.append(np.array(vals[5:], np.float32).reshape(-1, 3))
+                elif self.task == "obb":
+                    pts = np.array(vals[1:9], np.float32).reshape(4, 2)
+                    (cx, cy), (bw, bh), ang = cv2.minAreaRect(pts)
+                    boxes.append([cx, cy, bw, bh, np.deg2rad(ang)])
+                else:
+                    boxes.append(vals[1:5])
+        ncol = 5 if self.task == "obb" else 4
+        out = {
+            "xywhn": np.array(boxes, np.float32).reshape(-1, ncol),
             "cls": np.array(cls, np.int32),
         }
+        if self.task == "segment":
+            out["segments"] = segs
+        elif self.task == "pose":
+            out["keypoints"] = (np.stack(kpts) if kpts else
+                                np.zeros((0, 17, 3), np.float32))
+        return out
 
     def __len__(self):
         return len(self.im_files)
@@ -107,4 +133,14 @@ class YOLODataset:
             boxes = np.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], axis=1).astype(np.float32)
         else:
             boxes = np.zeros((0, 4), np.float32)
-        return img, {"boxes": boxes, "cls": lab["cls"].copy(), "orig_shape": (h0, w0)}
+        extra = {}
+        if self.task == "segment":
+            extra["segments"] = [p * np.array([w, h], np.float32) for p in lab.get("segments", [])]
+        elif self.task == "pose":
+            kp = lab.get("keypoints", np.zeros((0, 17, 3), np.float32)).copy()
+            kp[..., 0] *= w
+            kp[..., 1] *= h
+            extra["keypoints"] = kp
+        elif self.task == "obb":
+            extra["rboxes"] = lab["xywhn"].copy()  # normalized xywhr
+        return img, {"boxes": boxes, "cls": lab["cls"].copy(), "orig_shape": (h0, w0), **extra}
