@@ -44,9 +44,25 @@ class YOLO:
             template = self.model.init(jax.random.PRNGKey(0), imgsz=64)
             self.variables, self.ckpt_meta = load_deploy(model, template)
         else:
-            self.model = DetectionModel(model, nc=nc, dtype=dtype)
+            from ..nn.tasks import ClassificationModel, WorldModel
+
+            stem = Path(model).stem.lower()
+            if "cls" in stem:
+                self.model = ClassificationModel(model, nc=nc, dtype=dtype)
+            elif "world" in stem:
+                self.model = WorldModel(model, nc=nc, dtype=dtype)
+            else:
+                self.model = DetectionModel(model, nc=nc, dtype=dtype)
             self.variables = None
         self.trainer: Optional[Trainer] = None
+
+    @property
+    def task(self) -> str:
+        """Task inferred from the head (reference guess_model_task)."""
+        return {
+            "Segment": "segment", "Pose": "pose", "OBB": "obb",
+            "Classify": "classify", "RTDETRDecoder": "detect",
+        }.get(getattr(self.model, "head_name", "Detect"), "detect")
 
     # ------------------------------------------------------------------ utils
     @property
@@ -75,18 +91,19 @@ class YOLO:
         """
         cfg = get_cfg(overrides={k: v for k, v in overrides.items()})
         names = overrides.get("names")
-        train_ds = YOLODataset(data, split="train", imgsz=cfg.imgsz)
+        task = self.task
+        train_ds = YOLODataset(data, split="train", imgsz=cfg.imgsz, task=task)
         try:
-            val_ds = YOLODataset(data, split="val", imgsz=cfg.imgsz)
+            val_ds = YOLODataset(data, split="val", imgsz=cfg.imgsz, task=task)
         except FileNotFoundError:
             val_ds = train_ds
         hyp = {k: getattr(cfg, k) for k in
                ("mosaic", "mixup", "degrees", "translate", "scale", "shear", "perspective",
                 "hsv_h", "hsv_s", "hsv_v", "fliplr", "flipud")}
         train_loader = DataLoader(train_ds, batch_size=cfg.batch, imgsz=cfg.imgsz, augment=True,
-                                  hyp=hyp, seed=cfg.seed)
+                                  hyp=hyp, seed=cfg.seed, task=task)
         val_loader = DataLoader(val_ds, batch_size=cfg.batch, imgsz=cfg.imgsz, augment=False,
-                                shuffle=False, drop_last=False)
+                                shuffle=False, drop_last=False, task=task)
 
         trainer = Trainer(self.model, overrides=dict(overrides), mesh=mesh)
         trainer.setup(steps_per_epoch=max(len(train_loader), 1))

@@ -128,13 +128,11 @@ class Trainer:
         if self.mesh is not None:
             data_sharding = NamedSharding(self.mesh, P("data"))
             repl = NamedSharding(self.mesh, P())
-            batch_shardings = {
-                "img": data_sharding, "gt_boxes": data_sharding,
-                "gt_cls": data_sharding, "gt_mask": data_sharding,
-            }
+            # pytree-prefix: every batch leaf (incl. task extras like
+            # gt_masks / gt_kpts) shards on the data axis
             self._step_fn = jax.jit(
                 step,
-                in_shardings=(None, batch_shardings, repl),
+                in_shardings=(None, data_sharding, repl),
                 donate_argnums=donate,
             )
             self.state = jax.device_put(self.state, repl)
