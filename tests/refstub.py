@@ -29,7 +29,10 @@ _MISSING = [
     "timm.layers.helpers", "timm.layers.mlp", "timm.layers.norm",
     "timm.models.maxxvit", "timm.models.vision_transformer", "torchsummary",
     "torchvision", "torchvision.ops", "torchvision.transforms", "triton",
-    "triton.language", "wandb", "einops.layers.torch", "pytorch_wavelets",
+    "triton.language", "triton.backends", "triton.backends.compiler",
+    "triton.compiler", "triton.compiler.compiler", "triton.runtime",
+    "triton.runtime.autotuner", "triton.runtime.jit",
+    "wandb", "einops.layers.torch", "pytorch_wavelets",
     "model", "model.BasicBlock", "model.PGCU", "model.SFAU", "old", "old.module",
 ]
 
@@ -55,8 +58,11 @@ def install_stubs():
             return _Stub
 
     def fake_module(name, **attrs):
+        import importlib.machinery as _mach
+
         m = _Permissive(name)
         m.__path__ = []
+        m.__spec__ = _mach.ModuleSpec(name, loader=None, is_package=True)
         for k, v in attrs.items():
             setattr(m, k, v)
         sys.modules[name] = m
