@@ -386,3 +386,77 @@ def test_sam_architecture():
     emb = tiny.apply(vt, img, method="encode_image")
     mp, _ = tiny.apply(vt, emb, pts, lbl, method="prompt")
     assert mp.shape == (1, 3, 64, 64)
+
+
+def test_triton_client_against_mock_server():
+    """TritonRemoteModel speaks KServe-v2 REST to a local mock."""
+    import http.server
+    import json
+    import threading
+
+    from yolo_dbl_tpu.utils.triton import TritonRemoteModel
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _send(self, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            self._send({"name": "toy",
+                        "inputs": [{"name": "x", "datatype": "FP32", "shape": [-1, 4]}],
+                        "outputs": [{"name": "y", "datatype": "FP32", "shape": [-1, 4]}]})
+
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            req = json.loads(self.rfile.read(n))
+            data = np.asarray(req["inputs"][0]["data"], np.float32)
+            self._send({"outputs": [{"name": "y", "datatype": "FP32",
+                                     "shape": req["inputs"][0]["shape"],
+                                     "data": (data * 2).tolist()}]})
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        model = TritonRemoteModel(f"http://127.0.0.1:{port}/toy")
+        assert model.input_names == ["x"] and model.output_names == ["y"]
+        x = np.arange(8, dtype=np.float32).reshape(2, 4)
+        (y,) = model(x)
+        np.testing.assert_allclose(y, x * 2)
+    finally:
+        srv.shutdown()
+
+
+def test_auto_annotate(tmp_path):
+    """Detector + SAM auto-annotation writes YOLO-segment label files."""
+    import cv2
+
+    from yolo_dbl_tpu.data.annotator import auto_annotate
+    from yolo_dbl_tpu.models.sam import SAMModel
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    im = np.full((128, 128, 3), 40, np.uint8)
+    cv2.rectangle(im, (30, 30), (90, 90), (220, 60, 60), -1)
+    cv2.imwrite(str(img_dir / "a.jpg"), im)
+
+    det = DetectionModel("yolov8n.yaml", nc=2)
+    dv = det.init(jax.random.PRNGKey(0), imgsz=128)
+    sam = SAMModel(encoder_embed_dim=96, encoder_depth=2, encoder_num_heads=4,
+                   encoder_global_attn_indexes=(1,), img_size=128)
+    sv = sam.init(jax.random.PRNGKey(1), jnp.zeros((1, 128, 128, 3)),
+                  boxes=jnp.zeros((1, 1, 4)))
+    out = auto_annotate(img_dir, det, dv, sam, sv, conf=0.0, imgsz=128, max_det=4)
+    f = out / "a.txt"
+    assert f.exists()
+    for line in f.read_text().splitlines():
+        vals = line.split()
+        assert len(vals) >= 7 and len(vals) % 2 == 1  # cls + (x, y) pairs
