@@ -1,6 +1,11 @@
 """Benchmark: YOLO-DBL 640×640 batched inference throughput on one TPU chip,
 end-to-end (forward + on-device decode + on-device NMS).
 
+Methodology notes (hard-won): every iteration gets a DISTINCT pre-staged
+input and every output is fetched to host. The axon runtime dedupes repeated
+identical computations and its block_until_ready can return before remote
+completion — naive loops overstate throughput by 10-100×.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: BASELINE.json north star = 5000 img/s/chip on v5e-8 (i.e. 625
 img/s/chip); the reference publishes no numbers (BASELINE.md), so
@@ -20,7 +25,7 @@ def main():
     from yolo_dbl_tpu.nn.tasks import DetectionModel
     from yolo_dbl_tpu.ops.nms import non_max_suppression
 
-    batch = 16
+    batch = 64
     imgsz = 640
     dtype = jnp.bfloat16
 
@@ -34,16 +39,26 @@ def main():
         )
 
     fn = jax.jit(infer)
-    x = jax.random.uniform(jax.random.PRNGKey(1), (batch, imgsz, imgsz, 3), dtype=jnp.float32)
+    # DISTINCT pre-staged inputs per iteration and a block on every output:
+    # identical repeated inputs let async runtimes cache/elide work and
+    # overstate throughput.
+    n_iters = 20
+    xs = [jax.block_until_ready(
+        jax.random.uniform(jax.random.PRNGKey(i), (batch, imgsz, imgsz, 3), dtype=jnp.bfloat16))
+        for i in range(n_iters)]
 
     # warmup + compile
-    jax.block_until_ready(fn(variables, x))
+    dets, counts = fn(variables, xs[0])
+    jax.block_until_ready((dets, counts))
+    assert bool(jnp.isfinite(dets).all()), "benchmark outputs must be finite"
 
-    n_iters = 20
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = fn(variables, x)
-    jax.block_until_ready(out)
+    outs = [fn(variables, x) for x in xs]
+    # fetch a scalar from every output to force real completion: on remote
+    # runtimes block_until_ready can return on enqueue, and repeated
+    # identical inputs get deduped outright — both inflate throughput
+    for dets_i, counts_i in outs:
+        _ = counts_i.sum().item()
     dt = time.perf_counter() - t0
 
     imgs_per_sec = batch * n_iters / dt
