@@ -460,3 +460,30 @@ def test_auto_annotate(tmp_path):
     for line in f.read_text().splitlines():
         vals = line.split()
         assert len(vals) >= 7 and len(vals) % 2 == 1  # cls + (x, y) pairs
+
+
+@pytest.mark.parametrize("task,model_yaml,key", [
+    ("segment", "yolov8n-seg.yaml", "mask_mAP50"),
+    ("pose", "yolov8n-pose.yaml", "pose_mAP50"),
+    ("obb", "yolov8n-obb.yaml", "rbox_mAP50"),
+])
+def test_task_validators(tmp_path, task, model_yaml, key):
+    """Seg/pose/obb validators produce their dual-branch metrics."""
+    from yolo_dbl_tpu.data.build import DataLoader
+    from yolo_dbl_tpu.data.dataset import YOLODataset
+    from yolo_dbl_tpu.engine.validator import (OBBValidator, PoseValidator,
+                                               SegmentationValidator)
+    from .fixtures import make_task_dataset
+
+    root = make_task_dataset(tmp_path / task, task=task, imgsz=96, n_val=2)
+    ds = YOLODataset(root, split="val", imgsz=96, task=task)
+    loader = DataLoader(ds, batch_size=2, imgsz=96, max_gt=8, task=task,
+                        prefetch=0, shuffle=False, drop_last=False)
+    m = DetectionModel(model_yaml, nc=2)
+    v = m.init(jax.random.PRNGKey(0), imgsz=96)
+    cls = {"segment": SegmentationValidator, "pose": PoseValidator, "obb": OBBValidator}[task]
+    val = cls(m, conf=0.001)
+    out = val(v, loader)
+    assert key in out and f"{key.split('_')[0]}_mAP50-95" in out
+    assert "mAP50" in out and np.isfinite(out["fitness"])
+    assert out["images"] == 2

@@ -76,6 +76,21 @@ class YOLO:
     def info(self):
         return self.model.info(self.variables)
 
+    def _make_validator(self, **kw):
+        """Task-matched validator (reference task→Validator map)."""
+        from .validator import (DetectionValidator, OBBValidator, PoseValidator,
+                                SegmentationValidator)
+
+        t = self.task
+        if t == "segment":
+            return SegmentationValidator(self.model, **kw)
+        if t == "pose":
+            return PoseValidator(self.model, kpt_shape=tuple(
+                self.model.yaml.get("kpt_shape", (17, 3))), **kw)
+        if t == "obb":
+            return OBBValidator(self.model, **kw)
+        return DetectionValidator(self.model, **kw)
+
     def _ensure_variables(self, imgsz=640):
         if self.variables is None:
             self.variables = self.model.init(jax.random.PRNGKey(0), imgsz=imgsz)
@@ -108,7 +123,7 @@ class YOLO:
         trainer = Trainer(self.model, overrides=dict(overrides), mesh=mesh)
         trainer.setup(steps_per_epoch=max(len(train_loader), 1))
         self.trainer = trainer
-        validator = DetectionValidator(self.model)
+        validator = self._make_validator()
 
         run_dir = Path(cfg.project or "runs") / (cfg.name or "train")
         run_dir.mkdir(parents=True, exist_ok=True)
@@ -129,7 +144,9 @@ class YOLO:
                 if cfg.multi_scale:
                     batch = dict(batch)
                     batch["img"] = resize_batch(batch["img"], sample_scale(ms_sizes, ms_rng))
-                metrics = trainer.step({k: batch[k] for k in ("img", "gt_boxes", "gt_cls", "gt_mask")}, rng)
+                metrics = trainer.step(
+                    {k: v for k, v in batch.items()
+                     if k not in ("labels", "indices")}, rng)  # keep task extras (gt_masks/gt_kpts)
                 count += 1
                 for k, v in metrics.items():
                     running[k] = running.get(k, 0.0) + float(v)
@@ -154,9 +171,13 @@ class YOLO:
     # -------------------------------------------------------------------- val
     def val(self, data: Union[str, Path], split: str = "val", batch: int = 16, imgsz: int = 640,
             conf: float = 0.001, iou: float = 0.7, coco_stats: bool = True, **kw) -> Dict:
-        ds = YOLODataset(data, split=split, imgsz=imgsz)
-        loader = DataLoader(ds, batch_size=batch, imgsz=imgsz, augment=False, shuffle=False, drop_last=False)
-        validator = DetectionValidator(self.model, conf=conf, iou=iou, use_coco_stats=coco_stats)
+        ds = YOLODataset(data, split=split, imgsz=imgsz, task=self.task)
+        loader = DataLoader(ds, batch_size=batch, imgsz=imgsz, augment=False, shuffle=False,
+                            drop_last=False, task=self.task)
+        if self.task == "detect":
+            validator = DetectionValidator(self.model, conf=conf, iou=iou, use_coco_stats=coco_stats)
+        else:
+            validator = self._make_validator(conf=conf, iou=iou)
         return validator(self._ensure_variables(imgsz), loader)
 
     # ---------------------------------------------------------------- predict
