@@ -840,6 +840,54 @@ class FullPAD_Tunnel(nn.Module):
         return xs[0] + gate.astype(xs[0].dtype) * xs[1]
 
 
+def _area_attention(q, k, v, head_dim):
+    """softmax(q·kᵀ/√d)·v for (B, N, H, hd) tokens.
+
+    On TPU this rides the Pallas flash-attention kernel (no N×N
+    materialization — the O(N²) softmax buffer was the HBM hot spot of
+    A2C2f at P3/P4 resolutions); tokens are padded to the kernel's 128
+    block with segment ids masking the padding. Other backends (CPU tests)
+    use the plain einsum path.
+    """
+    bb, n, nh, hd = q.shape
+    import os
+
+    dev = jax.config.jax_default_device
+    on_tpu = (jax.default_backend() == "tpu"
+              and (dev is None or getattr(dev, "platform", "tpu") == "tpu"))
+    # Opt-in: at YOLO head dims (32-64) the einsum path measured FASTER than
+    # the flash kernel on v5e (698 vs 425 img/s for yolov13s @ b64 — the
+    # kernel's 128-wide blocks waste 4x on hd=32 and force an fp32 cast).
+    # Set YOLO_DBL_FLASH_ATTN=1 for long-sequence / large-head configs.
+    use_flash = (on_tpu and hd in (32, 64, 128, 256) and n >= 128
+                 and os.environ.get("YOLO_DBL_FLASH_ATTN", "0") == "1")
+    if use_flash:
+        try:
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                BlockSizes, SegmentIds, flash_attention)
+
+            pad = (-n) % 128
+            npad = n + pad
+            def to_kernel(t):
+                t = jnp.swapaxes(t, 1, 2)  # (B, H, N, hd)
+                return jnp.pad(t, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            qf, kf, vf = (to_kernel(t.astype(jnp.float32)) for t in (q, k, v))
+            seg = jnp.concatenate([jnp.zeros((bb, n), jnp.int32),
+                                   jnp.ones((bb, pad), jnp.int32)], axis=1)
+            bs = BlockSizes(block_q=128, block_k_major=128, block_k=128, block_b=1,
+                            block_q_major_dkv=128, block_k_major_dkv=128,
+                            block_k_dkv=128, block_q_dkv=128,
+                            block_k_major_dq=128, block_k_dq=128, block_q_dq=128)
+            out = flash_attention(qf, kf, vf, segment_ids=SegmentIds(seg, seg),
+                                  sm_scale=head_dim**-0.5, block_sizes=bs)
+            return jnp.swapaxes(out[:, :, :n], 1, 2).astype(q.dtype)  # (B, N, H, hd)
+        except Exception:  # pragma: no cover - kernel unavailable on backend
+            pass
+    attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * (head_dim**-0.5)
+    attn = jax.nn.softmax(attn, axis=-1)
+    return jnp.einsum("bhnm,bmhd->bnhd", attn, v)
+
+
 class AAttn(nn.Module):
     """Area attention (reference block.py:1187): window-free attention over
     `area` horizontal strips of the token sequence, with conv position encoding."""
@@ -861,9 +909,7 @@ class AAttn(nn.Module):
         bb, nn_, _ = qkv.shape
         qkv = qkv.reshape(bb, nn_, self.num_heads, head_dim * 3)
         q, k, v = jnp.split(qkv, 3, axis=-1)  # (B, N, H, hd)
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * (head_dim**-0.5)
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
+        out = _area_attention(q, k, v, head_dim)
         out = out.reshape(bb, nn_, c)
         v = v.reshape(bb, nn_, c)
         if self.area > 1:
