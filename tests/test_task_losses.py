@@ -487,3 +487,47 @@ def test_task_validators(tmp_path, task, model_yaml, key):
     assert key in out and f"{key.split('_')[0]}_mAP50-95" in out
     assert "mAP50" in out and np.isfinite(out["fitness"])
     assert out["images"] == 2
+
+
+def test_sam2_architecture_and_memory():
+    """SAM2: component param counts match the live torch reference exactly
+    (Hiera-T 26,849,472 / FPN 369,664 / MemoryAttention 5,922,304 /
+    MemoryEncoder 1,384,608); image prompting and the video memory loop run."""
+    from yolo_dbl_tpu.models.sam2 import (FpnNeck, Hiera, MemoryAttention,
+                                          MemoryEncoder, build_sam2)
+
+    def count(mod, *args, **kw):
+        v = jax.eval_shape(lambda: mod.init(jax.random.PRNGKey(0), *args, **kw))
+        return sum(p.size for p in jax.tree_util.tree_leaves(v["params"]))
+
+    h = Hiera(embed_dim=96, num_heads=1, stages=(1, 2, 7, 2), global_att_blocks=(5, 7, 9),
+              window_pos_embed_bkg_spatial_size=(7, 7), window_spec=(8, 4, 14, 7))
+    assert count(h, jnp.zeros((1, 256, 256, 3))) == 26849472
+    f = FpnNeck(d_model=256, backbone_channel_list=(768, 384, 192, 96))
+    feats = [jnp.zeros((1, 64, 64, 96)), jnp.zeros((1, 32, 32, 192)),
+             jnp.zeros((1, 16, 16, 384)), jnp.zeros((1, 8, 8, 768))]
+    assert count(f, feats) == 369664
+    assert count(MemoryAttention(), jnp.zeros((1, 64, 256)), jnp.zeros((1, 128, 64)),
+                 jnp.zeros((1, 64, 256)), jnp.zeros((1, 128, 64))) == 5922304
+    assert count(MemoryEncoder(out_dim=64), jnp.zeros((1, 16, 16, 256)),
+                 jnp.zeros((1, 256, 256, 1))) == 1384608
+
+    # image prompting + the video memory loop at tiny scale
+    m = build_sam2("t", image_size=256)
+    img = jax.random.uniform(jax.random.PRNGKey(0), (1, 256, 256, 3))
+    pts = jnp.array([[[128.0, 128.0]]])
+    lbl = jnp.array([[1]])
+    v = m.init(jax.random.PRNGKey(1), img, pts, lbl)
+    masks, iou = m.apply(v, img, pts, lbl)
+    assert masks.shape == (1, 3, 64, 64) and iou.shape == (1, 3)
+
+    enc = m.apply(v, img, method="encode_image")
+    src = enc["vision_features"]  # (1, 16, 16, 256)
+    vpos = enc["vision_pos_enc"][-1]
+    full_mask = jax.image.resize(masks[:, :1].transpose(0, 2, 3, 1), (1, 256, 256, 1), "bilinear")
+    mem, mpos = m.apply(v, src, full_mask, method="encode_memory")
+    assert mem.shape == (1, 16, 16, 64)
+    bank = jnp.concatenate([mem.reshape(1, -1, 64)] * 2, axis=1)  # two frames
+    bank_pos = jnp.concatenate([mpos.reshape(1, -1, 64)] * 2, axis=1)
+    cond = m.apply(v, src, vpos, bank, bank_pos, method="condition_on_memory")
+    assert cond.shape == src.shape and bool(jnp.isfinite(cond).all())
