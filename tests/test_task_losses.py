@@ -531,3 +531,21 @@ def test_sam2_architecture_and_memory():
     bank_pos = jnp.concatenate([mpos.reshape(1, -1, 64)] * 2, axis=1)
     cond = m.apply(v, src, vpos, bank, bank_pos, method="condition_on_memory")
     assert cond.shape == src.shape and bool(jnp.isfinite(cond).all())
+
+
+def test_mobile_sam_tinyvit():
+    """MobileSAM TinyViT: exact param parity with the live torch reference
+    (6,065,532 incl. classifier head) and a forward pass to the SAM neck."""
+    from yolo_dbl_tpu.models.tinyvit import build_mobile_sam_encoder
+
+    m = build_mobile_sam_encoder(img_size=1024)
+    v = jax.eval_shape(lambda: m.init(jax.random.PRNGKey(0), jnp.zeros((1, 1024, 1024, 3))))
+    assert sum(p.size for p in jax.tree_util.tree_leaves(v["params"])) == 6065532
+
+    small = build_mobile_sam_encoder(img_size=256)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 256, 256, 3))
+    vs = small.init(jax.random.PRNGKey(1), x)
+    feat = small.apply(vs, x)
+    assert feat.shape == (1, 16, 16, 256) and bool(jnp.isfinite(feat).all())
+    feat2, logits = small.apply(vs, x, with_head=True)
+    assert logits.shape == (1, 1000)
