@@ -549,3 +549,19 @@ def test_mobile_sam_tinyvit():
     assert feat.shape == (1, 16, 16, 256) and bool(jnp.isfinite(feat).all())
     feat2, logits = small.apply(vs, x, with_head=True)
     assert logits.shape == (1, 1000)
+
+
+def test_sam_predictor_facade():
+    """SAMPredictor: set_image once, prompt repeatedly in original pixels."""
+    from yolo_dbl_tpu.models.sam import SAMModel, SAMPredictor
+
+    m = SAMModel(encoder_embed_dim=96, encoder_depth=2, encoder_num_heads=4,
+                 encoder_global_attn_indexes=(1,), img_size=256)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)),
+               jnp.zeros((1, 1, 2)), jnp.zeros((1, 1), jnp.int32))
+    p = SAMPredictor(m, v).set_image(
+        np.random.default_rng(0).uniform(0, 255, (200, 300, 3)).astype(np.uint8))
+    masks, iou = p.predict(points=[[150, 100]], labels=[1])
+    assert masks.shape == (3, 200, 300) and iou.shape == (3,)
+    mb, _ = p.predict(boxes=[[50, 40, 250, 160]], multimask_output=False)
+    assert mb.shape == (1, 200, 300)

@@ -406,3 +406,60 @@ def build_sam(size: str = "b", img_size: int = 1024, dtype=jnp.float32) -> SAMMo
     d, depth, heads, gi = cfgs[size]
     return SAMModel(encoder_embed_dim=d, encoder_depth=depth, encoder_num_heads=heads,
                     encoder_global_attn_indexes=gi, img_size=img_size, dtype=dtype)
+
+
+class SAMPredictor:
+    """Stateful prompting facade (reference models/sam/predict.py Predictor):
+    `set_image` embeds once, then any number of `predict` calls with
+    point/box prompts in ORIGINAL image pixel coordinates."""
+
+    def __init__(self, model: SAMModel, variables):
+        self.model = model
+        self.variables = variables
+        self._embed = None
+        self._scale = 1.0
+        self._orig_hw = None
+        self._jit_encode = jax.jit(
+            lambda v, x: model.apply(v, x, method="encode_image"))
+
+    def set_image(self, image: np.ndarray):
+        """image: HWC uint8/float RGB at any size; resized longest-side to
+        the model's img_size and zero-padded bottom/right."""
+        import cv2
+
+        h0, w0 = image.shape[:2]
+        s = self.model.img_size
+        self._scale = s / max(h0, w0)
+        nh, nw = round(h0 * self._scale), round(w0 * self._scale)
+        im = cv2.resize(np.asarray(image), (nw, nh)).astype(np.float32)
+        if im.max() > 1.5:
+            im = im / 255.0
+        canvas = np.zeros((s, s, 3), np.float32)
+        canvas[:nh, :nw] = im
+        self._orig_hw = (h0, w0)
+        self._embed = self._jit_encode(self.variables, jnp.asarray(canvas)[None])
+        return self
+
+    def predict(self, points=None, labels=None, boxes=None, multimask_output=True):
+        """Prompts in original-image pixels → (masks (N, h0, w0), iou (N,))."""
+        assert self._embed is not None, "call set_image first"
+        kw = {}
+        if points is not None:
+            pts = jnp.asarray(points, jnp.float32).reshape(1, -1, 2) * self._scale
+            lab = (jnp.asarray(labels).reshape(1, -1) if labels is not None
+                   else jnp.ones((1, pts.shape[1]), jnp.int32))
+            kw.update(points=pts, labels=lab)
+        if boxes is not None:
+            kw["boxes"] = jnp.asarray(boxes, jnp.float32).reshape(1, -1, 4) * self._scale
+        masks, iou = self.model.apply(self.variables, self._embed,
+                                      multimask_output=multimask_output,
+                                      method="prompt", **kw)
+        # low-res (img/4) logits → original resolution
+        n = masks.shape[1]
+        s = self.model.img_size
+        up = jax.image.resize(masks[0], (n, s, s), "bilinear")
+        h0, w0 = self._orig_hw
+        nh, nw = round(h0 * self._scale), round(w0 * self._scale)
+        up = up[:, :nh, :nw]
+        up = jax.image.resize(up, (n, h0, w0), "bilinear")
+        return np.asarray(up > 0), np.asarray(iou[0])
