@@ -184,3 +184,113 @@ def test_dataset_yaml_recipe(tmp_path):
     # a directory still resolves like before
     d2 = check_det_dataset(root)
     assert d2["train"].is_dir()
+
+
+def test_copy_paste_flip_mode(tmp_path):
+    """copy_paste=0.15 (the DBL recipe) actually changes batches: mirrored
+    segments are pasted, instances grow (reference augment.py:1634)."""
+    from yolo_dbl_tpu.data.augment import bbox_ioa, copy_paste
+    from .fixtures import make_task_dataset
+
+    root = make_task_dataset(tmp_path / "segshapes", task="segment", n_train=4, imgsz=160)
+    ds = YOLODataset(root, split="train", imgsz=160, task="segment")
+    rng = np.random.default_rng(3)
+    img, labels = ds.load_resized(0, 160)
+    # place objects off-center so the mirrored copies don't overlap > 0.30 IoA
+    n0 = len(labels["boxes"])
+    img2, lab2 = copy_paste(img, labels, rng, p=1.0, mode="flip")
+    assert len(lab2["boxes"]) > n0, "flip copy-paste must add instances"
+    assert len(lab2["segments"]) == len(lab2["boxes"]) == len(lab2["cls"])
+    # pasted pixels come from the mirrored image
+    assert not np.array_equal(img, img2)
+    # donor boxes are the mirror of eligible originals
+    w = img.shape[1]
+    mirrored = labels["boxes"].copy()
+    mirrored[:, [0, 2]] = w - labels["boxes"][:, [2, 0]]
+    new = lab2["boxes"][n0:]
+    for nb in new:
+        assert any(np.allclose(nb, mb, atol=1e-3) for mb in mirrored)
+    # IoA gate: every pasted box overlaps each original by < 0.30
+    ioa = bbox_ioa(new, labels["boxes"])
+    assert (ioa < 0.30).all()
+
+
+def test_copy_paste_noop_without_segments():
+    from yolo_dbl_tpu.data.augment import copy_paste
+
+    rng = np.random.default_rng(0)
+    img = np.zeros((64, 64, 3), np.uint8)
+    labels = {"boxes": np.array([[8.0, 8.0, 24.0, 24.0]], np.float32),
+              "cls": np.array([0], np.int32)}
+    img2, lab2 = copy_paste(img, labels, rng, p=1.0)
+    assert img2 is img and lab2 is labels  # detect-only datasets: no-op
+
+
+def test_copy_paste_mixup_mode(tmp_path):
+    from yolo_dbl_tpu.data.augment import copy_paste
+    from .fixtures import make_task_dataset
+
+    root = make_task_dataset(tmp_path / "segshapes2", task="segment", n_train=4, imgsz=160, seed=7)
+    ds = YOLODataset(root, split="train", imgsz=160, task="segment")
+    rng = np.random.default_rng(1)
+    img, labels = ds.load_resized(0, 160)
+    donor_img, donor_labels = ds.load_resized(1, 160)
+    n0 = len(labels["boxes"])
+    img2, lab2 = copy_paste(img, labels, rng, p=1.0, mode="mixup", donor=(donor_img, donor_labels))
+    assert len(lab2["boxes"]) >= n0
+    assert len(lab2["segments"]) == len(lab2["boxes"])
+
+
+def test_train_transforms_carry_segments(tmp_path):
+    """Segment task now trains with the full mosaic/affine chain; segments
+    follow the geometry and stay consistent with boxes."""
+    from .fixtures import make_task_dataset
+
+    root = make_task_dataset(tmp_path / "segshapes3", task="segment", n_train=4, imgsz=160)
+    ds = YOLODataset(root, split="train", imgsz=160, task="segment")
+    rng = np.random.default_rng(0)
+    tt = TrainTransforms(imgsz=160, hyp={"mosaic": 1.0, "copy_paste": 0.5, "scale": 0.5})
+    for i in range(4):
+        img, lab = tt(ds, i, rng)
+        assert img.shape == (160, 160, 3)
+        assert len(lab["segments"]) == len(lab["boxes"]) == len(lab["cls"])
+        for seg, box in zip(lab["segments"], lab["boxes"]):
+            assert seg[:, 0].min() >= box[0] - 1.5 and seg[:, 0].max() <= box[2] + 1.5
+            assert seg[:, 1].min() >= box[1] - 1.5 and seg[:, 1].max() <= box[3] + 1.5
+
+
+def test_segment_dataloader_augmented_masks(tmp_path):
+    from .fixtures import make_task_dataset
+
+    root = make_task_dataset(tmp_path / "segshapes4", task="segment", n_train=4, imgsz=160)
+    ds = YOLODataset(root, split="train", imgsz=160, task="segment")
+    dl = DataLoader(ds, batch_size=2, imgsz=160, augment=True, max_gt=8,
+                    hyp={"mosaic": 1.0, "copy_paste": 0.3}, prefetch=0)
+    batch = next(iter(dl))
+    assert batch["gt_masks"].shape == (2, 8, 40, 40)
+    n_valid = int(batch["gt_mask"].sum())
+    assert n_valid >= 1
+    # every valid instance has a non-empty rasterized mask
+    per_inst = batch["gt_masks"].reshape(2 * 8, -1).sum(1)
+    valid = batch["gt_mask"].reshape(-1) > 0
+    assert (per_inst[valid] > 0).mean() > 0.8
+
+
+def test_bgr_and_erasing(tmp_path):
+    from yolo_dbl_tpu.data.augment import random_erasing
+
+    root = make_shapes_dataset(tmp_path / "shapes_bgr", n_train=2, n_val=1, imgsz=96)
+    ds = YOLODataset(root, split="train", imgsz=96)
+    rng = np.random.default_rng(0)
+    tt = TrainTransforms(imgsz=96, hyp={"mosaic": 0.0, "bgr": 1.0, "hsv_h": 0, "hsv_s": 0,
+                                        "hsv_v": 0, "fliplr": 0, "scale": 0, "translate": 0})
+    img_aug, _ = tt(ds, 0, rng)
+    tt0 = TrainTransforms(imgsz=96, hyp={"mosaic": 0.0, "bgr": 0.0, "hsv_h": 0, "hsv_s": 0,
+                                         "hsv_v": 0, "fliplr": 0, "scale": 0, "translate": 0})
+    img_plain, _ = tt0(ds, 0, np.random.default_rng(0))
+    assert np.array_equal(img_aug, img_plain[:, :, ::-1])  # bgr=1.0 reverses channels
+
+    img = np.full((64, 64, 3), 128, np.uint8)
+    erased = random_erasing(img, np.random.default_rng(1), p=1.0)
+    assert not np.array_equal(img, erased)
+    assert np.array_equal(img, random_erasing(img, np.random.default_rng(1), p=0.0))

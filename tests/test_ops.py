@@ -225,3 +225,37 @@ def test_deform_conv_differentiable():
     go, gw = jax.grad(loss, argnums=(0, 1))(offset, w)
     assert np.isfinite(np.asarray(go)).all() and np.isfinite(np.asarray(gw)).all()
     assert float(jnp.abs(gw).sum()) > 0
+
+
+def test_nms_fixpoint_matches_sequential_greedy():
+    """The while-loop fixpoint in _suppress computes EXACT sequential greedy
+    NMS (the semantics torchvision.ops.nms implements)."""
+    import numpy as np
+
+    from yolo_dbl_tpu.ops.boxes import box_iou
+    from yolo_dbl_tpu.ops.nms import _suppress
+
+    def greedy_np(boxes, scores, thr):
+        k = len(boxes)
+        iou = np.array(box_iou(jnp.array(boxes), jnp.array(boxes)))
+        suppressed = np.zeros(k, bool)
+        for i in range(k):
+            if suppressed[i]:
+                continue
+            for j in range(i + 1, k):
+                if iou[i, j] > thr:
+                    suppressed[j] = True
+        return ~suppressed & (scores > -np.inf)
+
+    rng = np.random.default_rng(0)
+    for trial in range(5):
+        k = 200
+        xy = rng.uniform(0, 100, (k, 2))
+        wh = rng.uniform(5, 40, (k, 2))
+        boxes = np.concatenate([xy, xy + wh], 1).astype(np.float32)
+        scores = np.sort(rng.uniform(0, 1, k).astype(np.float32))[::-1].copy()
+        # a few -inf rows at the tail, like masked candidates after top_k
+        scores[-5:] = -np.inf
+        ref = greedy_np(boxes, scores, 0.45)
+        got = np.array(_suppress(jnp.array(boxes), jnp.array(scores), 0.45))
+        assert (ref == got).all(), f"trial {trial}"

@@ -99,10 +99,17 @@ class DataLoader:
                  prefetch: int = 2, task: Optional[str] = None):
         self.dataset = dataset
         self.task = task or getattr(dataset, "task", "detect")
-        if self.task != "detect":
-            # geometric mosaic/perspective do not yet carry mask/kpt side
-            # channels — non-detect tasks run the letterbox-only path
+        if self.task == "obb":
+            # rotated boxes are not carried through mosaic/perspective yet —
+            # obb runs the letterbox-only path
             augment = False
+        if self.task == "pose" and augment:
+            # reference v8_transforms: keypoint left/right flip requires a
+            # flip_idx from the dataset yaml; without one fliplr is disabled
+            hyp = dict(hyp or {})
+            if not hyp.get("flip_idx"):
+                hyp["flip_idx"] = None
+                hyp["fliplr"] = 0.0
         self.batch_size = batch_size
         self.imgsz = imgsz
         self.max_gt = max_gt

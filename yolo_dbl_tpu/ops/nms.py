@@ -29,20 +29,40 @@ MAX_WH = 7680.0  # class-offset magnitude, mirrors reference ops.py:190
 
 
 def _suppress(boxes, scores, iou_thres):
-    """Greedy NMS over score-sorted boxes; returns keep mask (K,)."""
+    """Greedy NMS over score-sorted boxes; returns keep mask (K,).
+
+    Exact greedy semantics (same result as the sequential scan torchvision
+    implements) computed as a monotone fixpoint: each round, every undecided
+    box with an overlapping earlier KEPT box dies, and every undecided box
+    whose earlier overlaps are all decided-dead is kept. The earliest
+    undecided box always resolves, so the loop terminates; in practice it
+    converges in ~O(max suppression-chain depth) rounds (a handful), each a
+    full-width K x K VPU op — vs the K=1024 sequential steps of a fori_loop
+    scan, which was ~15% of e2e time in round 1 (VERDICT "what's weak" #3).
+    """
     k = boxes.shape[0]
     iou = box_iou(boxes, boxes)
-    # only higher-scoring earlier boxes can suppress later ones
-    tri = jnp.tril(jnp.ones((k, k), dtype=bool), k=-1).T  # upper triangular, no diag
-    overlap = (iou > iou_thres) & tri
+    # [j, i] True iff j earlier (higher score) than i and overlapping
+    earlier = jnp.tril(jnp.ones((k, k), dtype=bool), k=-1).T
+    overlap = (iou > iou_thres) & earlier
 
-    def body(i, suppressed):
-        # box i suppresses overlapping lower-score boxes iff itself alive
-        row = overlap[i] & jnp.logical_not(suppressed[i])
-        return suppressed | row
+    def cond(state):
+        kept, dead = state
+        return jnp.any(~(kept | dead))
 
-    suppressed = jax.lax.fori_loop(0, k, body, jnp.zeros((k,), dtype=bool))
-    return jnp.logical_not(suppressed) & (scores > -jnp.inf)
+    def body(state):
+        kept, dead = state
+        undecided = ~(kept | dead)
+        has_kept_earlier = jnp.any(overlap & kept[:, None], axis=0)
+        has_undec_earlier = jnp.any(overlap & undecided[:, None], axis=0)
+        new_dead = undecided & has_kept_earlier
+        new_kept = undecided & ~has_kept_earlier & ~has_undec_earlier
+        return kept | new_kept, dead | new_dead
+
+    kept, _ = jax.lax.while_loop(
+        cond, body, (jnp.zeros((k,), dtype=bool), jnp.zeros((k,), dtype=bool))
+    )
+    return kept & (scores > -jnp.inf)
 
 
 @functools.partial(
