@@ -32,3 +32,22 @@ except RuntimeError:
 
 def cpu_devices(n=8):
     return jax.devices("cpu")[:n]
+
+
+import pytest
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run tests marked slow (live-torch parity, zoo rebuilds)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip_slow = pytest.mark.skip(reason="slow: use --runslow (fast lane keeps default runs < 5 min)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)

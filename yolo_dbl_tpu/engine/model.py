@@ -22,6 +22,7 @@ from ..data.build import DataLoader
 from ..data.dataset import YOLODataset
 from ..nn.tasks import DetectionModel
 from ..utils.checkpoint import load_deploy, save_checkpoint, save_deploy
+from ..utils.checks import check_imgsz
 from .predictor import DetectionPredictor
 from .trainer import Trainer
 from .validator import DetectionValidator
@@ -105,6 +106,7 @@ class YOLO:
         patience early stop, close_mosaic switch.
         """
         cfg = get_cfg(overrides={k: v for k, v in overrides.items()})
+        cfg.imgsz = check_imgsz(cfg.imgsz, stride=max(self.model.strides))
         names = overrides.get("names")
         task = self.task
         train_ds = YOLODataset(data, split="train", imgsz=cfg.imgsz, task=task)
@@ -113,8 +115,9 @@ class YOLO:
         except FileNotFoundError:
             val_ds = train_ds
         hyp = {k: getattr(cfg, k) for k in
-               ("mosaic", "mixup", "degrees", "translate", "scale", "shear", "perspective",
-                "hsv_h", "hsv_s", "hsv_v", "fliplr", "flipud")}
+               ("mosaic", "mixup", "copy_paste", "copy_paste_mode", "degrees", "translate",
+                "scale", "shear", "perspective", "hsv_h", "hsv_s", "hsv_v", "fliplr",
+                "flipud", "bgr", "erasing") if hasattr(cfg, k)}
         train_loader = DataLoader(train_ds, batch_size=cfg.batch, imgsz=cfg.imgsz, augment=True,
                                   hyp=hyp, seed=cfg.seed, task=task)
         val_loader = DataLoader(val_ds, batch_size=cfg.batch, imgsz=cfg.imgsz, augment=False,
@@ -171,6 +174,7 @@ class YOLO:
     # -------------------------------------------------------------------- val
     def val(self, data: Union[str, Path], split: str = "val", batch: int = 16, imgsz: int = 640,
             conf: float = 0.001, iou: float = 0.7, coco_stats: bool = True, **kw) -> Dict:
+        imgsz = check_imgsz(imgsz, stride=max(self.model.strides))
         ds = YOLODataset(data, split=split, imgsz=imgsz, task=self.task)
         loader = DataLoader(ds, batch_size=batch, imgsz=imgsz, augment=False, shuffle=False,
                             drop_last=False, task=self.task)
@@ -181,8 +185,106 @@ class YOLO:
         return validator(self._ensure_variables(imgsz), loader)
 
     # ---------------------------------------------------------------- predict
+    def _make_predictor(self, conf, iou, imgsz, **kw):
+        from .predictor import TASK_PREDICTORS, PosePredictor
+
+        cls = TASK_PREDICTORS[self.task]
+        if cls is PosePredictor:
+            return cls(self.model, kpt_shape=tuple(self.model.yaml.get("kpt_shape", (17, 3))),
+                       conf=conf, iou=iou, imgsz=imgsz)
+        return cls(self.model, conf=conf, iou=iou, imgsz=imgsz)
+
     def predict(self, source, conf: float = 0.25, iou: float = 0.45, imgsz: int = 640, **kw):
-        predictor = DetectionPredictor(self.model, conf=conf, iou=iou, imgsz=imgsz)
+        """Task-dispatched prediction returning typed Results (reference
+        Model.predict → task_map predictor, engine/model.py:501)."""
+        imgsz = check_imgsz(imgsz, stride=max(self.model.strides))
+        predictor = self._make_predictor(conf, iou, imgsz, **kw)
         return predictor(self._ensure_variables(imgsz), source)
 
     __call__ = predict
+
+    # ------------------------------------------------------------------ track
+    def track(self, source, tracker: str = "bytetrack.yaml", persist: bool = False,
+              conf: float = 0.25, iou: float = 0.45, imgsz: int = 640,
+              vid_stride: int = 1, **kw):
+        """Stream a video/image-sequence source through predict + a
+        multi-object tracker; returns Results with id'd boxes (reference
+        Model.track engine/model.py:694 + trackers/track.py).
+
+        persist=True keeps tracker state between calls (the reference's
+        frame-by-frame loop idiom)."""
+        from ..data.loaders import load_inference_source
+        from ..trackers.track import make_tracker, update_result_with_tracks
+
+        if not persist or getattr(self, "_tracker", None) is None:
+            self._tracker = make_tracker(tracker)
+            self._predictor = self._make_predictor(conf, iou, imgsz, **kw)
+        variables = self._ensure_variables(imgsz)
+        results = []
+        if isinstance(source, np.ndarray):
+            frames = [(None, source)]
+        elif isinstance(source, (list, tuple)) and len(source) and isinstance(source[0], np.ndarray):
+            frames = [(None, f) for f in source]
+        else:
+            frames = load_inference_source(source, vid_stride=vid_stride)
+        for path, frame in frames:
+            r = self._predictor(variables, [frame])[0]
+            r.path = path if isinstance(path, str) else r.path
+            results.append(update_result_with_tracks(r, self._tracker, frame))
+        return results
+
+    # ----------------------------------------------------------------- export
+    def export(self, format: str = "stablehlo", path: Optional[str] = None,
+               imgsz: int = 640, batch: int = 1, nms: bool = False, **kw):
+        """Export to a deploy format via the Exporter (reference
+        Model.export, engine/model.py:694 export section)."""
+        from .exporter import Exporter
+
+        exporter = Exporter(self.model, self._ensure_variables(imgsz), imgsz=imgsz,
+                            batch=batch, with_nms=nms)
+        return exporter(fmt=format, path=path)
+
+    # -------------------------------------------------------------- benchmark
+    def benchmark(self, data: Union[str, Path, None] = None, imgsz: int = 640,
+                  batch: int = 1, formats=("stablehlo", "deploy"), **kw) -> Dict:
+        """Export-format × latency (+ optional mAP) matrix (reference
+        utils/benchmarks.py:50 benchmark())."""
+        import tempfile
+
+        rows = []
+        variables = self._ensure_variables(imgsz)
+        x = jnp.zeros((batch, imgsz, imgsz, 3), jnp.float32)
+        fwd = jax.jit(lambda v, im: self.model.predict(v, im))
+        jax.block_until_ready(fwd(variables, x))
+        t0 = time.time()
+        for _ in range(5):
+            jax.block_until_ready(fwd(variables, x))
+        base_ms = (time.time() - t0) / 5 * 1000
+        row = {"format": "jax", "ok": True, "latency_ms": round(base_ms, 2)}
+        if data is not None:
+            row["metrics"] = self.val(data, imgsz=imgsz, batch=max(batch, 2))
+        rows.append(row)
+        for fmt in formats:
+            try:
+                with tempfile.TemporaryDirectory() as td:
+                    p = self.export(format=fmt, path=str(Path(td) / f"model.{fmt}"),
+                                    imgsz=imgsz, batch=batch)
+                    rows.append({"format": fmt, "ok": True, "path_existed": Path(p).exists()})
+            except Exception as e:  # noqa: BLE001 - benchmark table reports failures
+                rows.append({"format": fmt, "ok": False, "error": str(e)})
+        return {"rows": rows}
+
+    # ------------------------------------------------------------------- tune
+    def tune(self, data: Union[str, Path], iterations: int = 10, epochs: int = 3,
+             space: Optional[Dict] = None, **kw) -> Dict:
+        """Mutation-evolution hyperparameter search over short trainings
+        (reference Model.tune → Tuner, engine/tuner.py)."""
+        from .tuner import Tuner
+
+        def train_fn(hyp: Dict) -> float:
+            out = self.train(data, epochs=epochs, **{**kw, **hyp})
+            return float(out["best_fitness"])
+
+        tuner = Tuner(train_fn, space=space)
+        best_hyp, best_fitness = tuner(iterations=iterations)
+        return {"best_hyp": best_hyp, "best_fitness": best_fitness}

@@ -112,9 +112,82 @@ def grid_sample_bilinear(x, coords, padding_mode: str = "border", align_corners:
     return sample_bilinear_pixel(x, gy, gx, padding_mode)
 
 
+# Sources up to this many pixels go through the one-hot-matmul sampling path
+# (MXU); larger sources fall back to take_along_axis gathers. Measured on
+# v5e at DySample's hot shapes (bg=256, c=64): one-hot 10.1 ms vs gather
+# 60.4 ms for 40x40 -> 80x80, 4.3 vs 18.8 ms for 20x20 -> 40x40.
+_ONEHOT_MAX_SRC = 4096
+# cap on materialized one-hot matrix bytes per lax.map chunk
+_ONEHOT_CHUNK_BYTES = 512 * 1024 * 1024
+
+
+def _sample_bilinear_onehot(x, gy, gx, padding_mode):
+    """Bilinear sampling as a dense (N_out, H*W) interpolation-matrix matmul.
+
+    TPU gathers are slow generic scatters; for small source maps the exact
+    same computation expressed as one-hot weights x source rides the MXU
+    ~6x faster. Identical math to the gather path: 4 corner weights, border
+    clip or zeros masking, gradient flows through the weights.
+    """
+    b, h, w, c = x.shape
+    s = h * w
+    out_shape = gy.shape[1:]
+    n = 1
+    for d in out_shape:
+        n = n * d
+    gy = gy.reshape(b, n)
+    gx = gx.reshape(b, n)
+    y0f = jnp.floor(gy)
+    x0f = jnp.floor(gx)
+    wy = (gy - y0f).astype(x.dtype)
+    wx = (gx - x0f).astype(x.dtype)
+    ar = jnp.arange(s, dtype=jnp.int32)
+
+    def corner(yi, xi, wgt):
+        yic = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        xic = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        if padding_mode == "zeros":
+            inb = (yi >= 0) & (yi <= h - 1) & (xi >= 0) & (xi <= w - 1)
+            wgt = wgt * inb.astype(wgt.dtype)
+        return ((yic * w + xic)[..., None] == ar) * wgt[..., None]
+
+    def build_and_mul(args):
+        xf, yy0, xx0, wwy, wwx = args
+        A = (
+            corner(yy0, xx0, (1 - wwy) * (1 - wwx))
+            + corner(yy0, xx0 + 1, (1 - wwy) * wwx)
+            + corner(yy0 + 1, xx0, wwy * (1 - wwx))
+            + corner(yy0 + 1, xx0 + 1, wwy * wwx)
+        )
+        return jnp.einsum("bns,bsc->bnc", A.astype(xf.dtype), xf)
+
+    flat = x.reshape(b, s, c)
+    itemsize = jnp.dtype(x.dtype).itemsize
+    per_image = n * s * itemsize
+    ch = max(1, min(b, _ONEHOT_CHUNK_BYTES // max(per_image, 1)))
+    while b % ch:
+        ch -= 1
+    if ch == b:
+        out = build_and_mul((flat, y0f, x0f, wy, wx))
+    else:
+        out = jax.lax.map(
+            build_and_mul,
+            (
+                flat.reshape(b // ch, ch, s, c),
+                y0f.reshape(b // ch, ch, n),
+                x0f.reshape(b // ch, ch, n),
+                wy.reshape(b // ch, ch, n),
+                wx.reshape(b // ch, ch, n),
+            ),
+        ).reshape(b, n, c)
+    return out.reshape(b, *out_shape, c)
+
+
 def sample_bilinear_pixel(x, gy, gx, padding_mode: str = "border"):
     """Bilinear sample NHWC `x` at pixel coordinates gy/gx (B, ...)."""
     b, h, w, c = x.shape
+    if h * w <= _ONEHOT_MAX_SRC:
+        return _sample_bilinear_onehot(x, gy, gx, padding_mode)
     x0 = jnp.floor(gx)
     y0 = jnp.floor(gy)
     wx = gx - x0
