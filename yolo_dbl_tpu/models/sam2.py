@@ -487,17 +487,30 @@ class SAM2Model(nn.Module):
         """Current-frame features + predicted mask → memory (B, g, g, 64)."""
         return self.memory_encoder(vision_features, mask_logits)
 
-    def condition_on_memory(self, vision_features, vision_pos, memories, memory_pos):
+    def condition_on_memory(self, vision_features, vision_pos, memories, memory_pos,
+                            num_obj_ptr_tokens: int = 0):
         """Condition frame tokens on a concatenated memory bank.
 
-        vision_features (B, g, g, 256); memories (B, T·g·g, 64) with matching
-        memory_pos. Returns conditioned features (B, g, g, 256).
+        vision_features (B, g, g, 256); memories (B, T·g·g [+ptr], 64) with
+        matching memory_pos; the trailing num_obj_ptr_tokens are object
+        pointers excluded from RoPE (reference memory_attention.py
+        num_k_exclude_rope). Returns conditioned features (B, g, g, 256).
         """
         b, h, w, c = vision_features.shape
         curr = vision_features.reshape(b, h * w, c)
         cpos = jnp.broadcast_to(vision_pos.reshape(1, h * w, c), (b, h * w, c))
-        out = self.memory_attention(curr, memories, curr_pos=cpos, memory_pos=memory_pos)
+        out = self.memory_attention(curr, memories, curr_pos=cpos, memory_pos=memory_pos,
+                                    num_obj_ptr_tokens=num_obj_ptr_tokens)
         return out.reshape(b, h, w, c)
+
+    def decode_masks(self, src, points=None, labels=None, boxes=None,
+                     multimask_output: bool = True):
+        """Prompt-encode + mask-decode on (possibly memory-conditioned)
+        stride-16 features — the video path's per-frame decode (reference
+        sam2.py _forward_sam_heads)."""
+        sparse, dense = self.prompt_encoder(points, labels, boxes, batch=src.shape[0])
+        return self.mask_decoder(src, self.prompt_encoder.dense_pe(), sparse,
+                                 dense, multimask_output)
 
 
 def build_sam2(size: str = "t", image_size: int = 1024, dtype=jnp.float32) -> SAM2Model:

@@ -656,9 +656,11 @@ class AdaHGConv(nn.Module):
             dtype=self.dtype, name="edge_generator",
         )(x, train)
         he = jnp.einsum("bne,bnd->bed", a, x)  # vertex → edge
-        he = nn.gelu(nn.Dense(self.embed_dim, dtype=self.dtype, name="edge_proj")(he))
+        # approximate=False: torch nn.GELU() is erf-based; the tanh approx
+        # diverges ~1e-3 and breaks weight-port forward parity
+        he = nn.gelu(nn.Dense(self.embed_dim, dtype=self.dtype, name="edge_proj")(he), approximate=False)
         xn = jnp.einsum("bne,bed->bnd", a, he)  # edge → vertex
-        xn = nn.gelu(nn.Dense(self.embed_dim, dtype=self.dtype, name="node_proj")(xn))
+        xn = nn.gelu(nn.Dense(self.embed_dim, dtype=self.dtype, name="node_proj")(xn), approximate=False)
         return xn + x
 
 
