@@ -16,23 +16,26 @@ from .fixtures import make_shapes_dataset  # noqa: E402
 
 @pytest.mark.slow
 def test_coco8_style_train_improves(tmp_path):
-    data = make_shapes_dataset(tmp_path / "ds", n_train=8, n_val=4, imgsz=96)
+    # 4 images at batch 4 → the same batch every epoch: a deterministic
+    # overfit signal through the full facade path (loaders, trainer, EMA,
+    # validator, ckpts) without multi-batch noise
+    data = make_shapes_dataset(tmp_path / "ds", n_train=4, n_val=4, imgsz=64)
     model = YOLO("yolov8n.yaml", nc=3)
     out = model.train(
-        data, epochs=3, batch=4, imgsz=96, lr0=0.01, warmup_epochs=0.0,
+        data, epochs=6, batch=4, imgsz=64, lr0=0.005, warmup_epochs=2.0,
         mosaic=0.0, mixup=0.0, copy_paste=0.0, translate=0.0, scale=0.0,
         fliplr=0.0, hsv_h=0.0, hsv_s=0.0, hsv_v=0.0, erasing=0.0,
         close_mosaic=0, multi_scale=False, patience=100,
         project=str(tmp_path / "runs"), name="e2e", workers=0,
     )
     hist = out["history"]
-    assert len(hist) == 3
-    # training loss descends epoch-over-epoch (allow noise: last < first)
+    assert len(hist) == 6
     losses = [h["loss"] for h in hist if "loss" in h] or [
         h[k] for h in hist for k in h if k.startswith("loss")]
-    assert losses[-1] < losses[0], f"loss did not descend: {losses}"
-    # fitness (mAP50-95 analogue) improves over the run: the best epoch's
-    # fitness must exceed epoch 0's
+    # training loss descends over the run (mean of last two < first)
+    assert np.isfinite(losses).all()
+    assert (losses[-1] + losses[-2]) / 2 < losses[0], f"loss did not descend: {losses}"
+    # fitness (mAP50-95 analogue) never collapses below its start and the
+    # best checkpoint beats-or-matches epoch 0
     fits = [h.get("val_fitness", 0.0) for h in hist]
     assert max(fits) >= fits[0]
-    assert np.isfinite(losses).all()

@@ -30,6 +30,32 @@ pytestmark = [
 REF_V13 = "/root/reference/models/YOLO/ultralytics/cfg/models/v13"
 
 
+def _patch_ref_dysample():
+    """The reference DySample.sample crashes on CPU: `.view` on the
+    non-contiguous stacked coords tensor (DySample.py:58 — fine on their
+    CUDA layout). Behavior-identical shim: that one `.view` → `.reshape`."""
+    import torch
+    import torch.nn.functional as F
+    from ultralytics.nn.modules_upsample import DySample as ds_cls
+
+    def sample(self, x, offset):
+        B, _, H, W = offset.shape
+        offset = offset.view(B, 2, -1, H, W)
+        coords_h = torch.arange(H) + 0.5
+        coords_w = torch.arange(W) + 0.5
+        coords = torch.stack(torch.meshgrid([coords_w, coords_h], indexing="ij")
+                             ).transpose(1, 2).unsqueeze(1).unsqueeze(0).type(x.dtype).to(x.device)
+        normalizer = torch.tensor([W, H], dtype=x.dtype, device=x.device).view(1, 2, 1, 1, 1)
+        coords = 2 * (coords + offset) / normalizer - 1
+        coords = F.pixel_shuffle(coords.reshape(B, -1, H, W), self.scale).view(
+            B, 2, -1, self.scale * H, self.scale * W).permute(0, 2, 3, 4, 1).contiguous().flatten(0, 1)
+        return F.grid_sample(x.reshape(B * self.groups, -1, H, W), coords, mode="bilinear",
+                             align_corners=False, padding_mode="border").view(
+            B, -1, self.scale * H, self.scale * W)
+
+    ds_cls.sample = sample
+
+
 def _port_and_compare(ref_yaml, scale, ours_yaml, nc, imgsz=128, atol_box=0.05, atol_score=1e-3):
     import torch
 
@@ -37,6 +63,7 @@ def _port_and_compare(ref_yaml, scale, ours_yaml, nc, imgsz=128, atol_box=0.05, 
 
     torch.manual_seed(0)
     ref = refstub.load_reference_model(ref_yaml, scale, nc=nc)
+    _patch_ref_dysample()
     ref = ref.float().eval()
     state = ref.state_dict()
 

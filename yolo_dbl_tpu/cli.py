@@ -29,16 +29,21 @@ HELP = """yolo_dbl_tpu CLI — TPU-native YOLO-DBL framework
 
 usage: python -m yolo_dbl_tpu [task] [mode] [key=value ...]
 
-tasks: detect (default)
-modes: train, val, predict, export, benchmark
+tasks: detect (default), segment, pose, obb, classify — inferred from the
+       model yaml's head; the task token is accepted for reference-CLI parity
+modes: train, val, predict, track, export, benchmark, tune
 
 examples:
   python -m yolo_dbl_tpu detect train data=path/to/dataset model=yolov13s_DBL.yaml epochs=100
   python -m yolo_dbl_tpu detect val model=runs/train/best.ckpt data=path/to/dataset
   python -m yolo_dbl_tpu detect predict model=best.ckpt source=images/
+  python -m yolo_dbl_tpu detect track model=best.ckpt source=video.mp4 tracker=bytetrack.yaml
   python -m yolo_dbl_tpu detect export model=best.ckpt format=stablehlo
+  python -m yolo_dbl_tpu detect tune model=yolov8n.yaml data=path/to/dataset iterations=10
   python -m yolo_dbl_tpu benchmark
   python -m yolo_dbl_tpu checks
+  python -m yolo_dbl_tpu settings [key=value ...]
+  python -m yolo_dbl_tpu solutions
 """
 
 
@@ -56,6 +61,22 @@ def entrypoint(argv=None):
 
         print("yolo_dbl_tpu:", __version__)
         return
+    if argv[0] == "settings":
+        from .utils.settings import SETTINGS
+
+        updates = parse_kv(argv[1:])
+        for k, v in updates.items():
+            SETTINGS[k] = v
+        for k, v in dict(SETTINGS).items():
+            print(f"{k}={v}")
+        return
+    if argv[0] == "solutions":
+        from . import solutions
+
+        print("available solutions apps (yolo_dbl_tpu.solutions):")
+        for name in solutions.__all__:
+            print(" ", name)
+        return
     if argv[0] == "benchmark":
         import runpy
         from pathlib import Path
@@ -65,7 +86,7 @@ def entrypoint(argv=None):
         return
 
     task = "detect"
-    if argv and argv[0] in ("detect",):
+    if argv and argv[0] in ("detect", "segment", "pose", "obb", "classify"):
         task = argv.pop(0)
     if not argv:
         raise SystemExit("missing mode; " + HELP)
@@ -96,6 +117,12 @@ def entrypoint(argv=None):
             print(r.path, len(r), "detections")
             for d in r.to_json_dicts():
                 print("  ", d)
+    elif mode == "track":
+        source = kv.pop("source")
+        results = y.track(source, **kv)
+        for r in results:
+            ids = r.boxes.id if r.boxes is not None and r.boxes.is_track else None
+            print(r.path, len(r), "tracks", None if ids is None else [int(i) for i in ids])
     elif mode == "export":
         from .engine.exporter import Exporter
 
@@ -104,6 +131,12 @@ def entrypoint(argv=None):
         exporter = Exporter(y.model, y._ensure_variables(imgsz), imgsz=imgsz, **kv)
         path = exporter(fmt)
         print("exported:", path)
+    elif mode == "tune":
+        data = kv.pop("data")
+        iterations = kv.pop("iterations", 10)
+        out = y.tune(data, iterations=iterations, **kv)
+        print("best fitness:", round(out["best_fitness"], 4))
+        print("best hyp:", out["best_hyp"])
     else:
         raise SystemExit(f"unknown mode '{mode}'; " + HELP)
 

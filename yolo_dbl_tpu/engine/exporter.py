@@ -80,7 +80,8 @@ class Exporter:
 
         path = Path(path)
         tf_fn = tf.function(
-            jax2tf.convert(self._infer_fn(), with_gradient=False),
+            jax2tf.convert(self._infer_fn(), with_gradient=False,
+                           native_serialization_platforms=("cpu", "tpu")),
             input_signature=[tf.TensorSpec((self.batch, self.imgsz, self.imgsz, 3), tf.float32)],
             autograph=False,
         )
@@ -97,7 +98,8 @@ class Exporter:
         path = Path(path)
         path.parent.mkdir(parents=True, exist_ok=True)
         tf_fn = tf.function(
-            jax2tf.convert(self._infer_fn(), with_gradient=False),
+            jax2tf.convert(self._infer_fn(), with_gradient=False,
+                           native_serialization_platforms=("cpu",)),
             input_signature=[tf.TensorSpec((self.batch, self.imgsz, self.imgsz, 3), tf.float32)],
             autograph=False,
         )

@@ -14,6 +14,7 @@ from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class AutoBackend:
@@ -45,9 +46,11 @@ class AutoBackend:
 
             loaded = tf.saved_model.load(str(self.path))
             serve = loaded.signatures["serving_default"]
+            # serving signatures are keyword-only (input name from the spec)
+            kw_name = next(iter(serve.structured_input_signature[1]))
 
             def fn(img):
-                out = serve(jnp.asarray(img))
+                out = serve(**{kw_name: tf.constant(np.asarray(img, np.float32))})
                 return jnp.asarray(next(iter(out.values())))
 
             self._fn = fn

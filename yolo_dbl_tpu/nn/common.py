@@ -168,7 +168,11 @@ class ConvTranspose2d(nn.Module):
 
 
 class DWConv(nn.Module):
-    """Depthwise conv: Conv with g = gcd(c1, c2) (reference conv.py DWConv)."""
+    """Depthwise conv: Conv with g = gcd(c1, c2) (reference conv.py DWConv).
+
+    Params are named conv/bn directly (no nested wrapper level) so torch
+    state_dict paths like `cv3.0.0.0.conv.weight` port 1:1 (utils/port.py).
+    """
 
     c2: int
     k: int = 1
@@ -180,9 +184,31 @@ class DWConv(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         c1 = x.shape[-1]
-        return Conv(
-            self.c2, self.k, self.s, g=math.gcd(c1, self.c2), d=self.d, act=self.act, dtype=self.dtype
-        )(x, train)
+        k = _pair(self.k)
+        p = autopad(self.k, None, self.d)
+        x = nn.Conv(
+            features=self.c2,
+            kernel_size=k,
+            strides=_pair(self.s),
+            padding=_pad_spec(p),
+            feature_group_count=math.gcd(c1, self.c2),
+            kernel_dilation=_pair(self.d),
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+        if self.act is True:
+            x = default_act()(x)
+        elif callable(self.act):
+            x = self.act(x)
+        return x
 
 
 class DSConv(nn.Module):

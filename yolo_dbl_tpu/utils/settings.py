@@ -60,3 +60,40 @@ class SettingsManager(dict):
         self.clear()
         self.update(DEFAULT_SETTINGS)
         self.save()
+
+
+# Lazily-created singleton (reference SETTINGS at utils/__init__.py:1199):
+# module import must not touch the filesystem; first attribute access does.
+class _LazySettings:
+    _inst: SettingsManager | None = None
+
+    def _get(self) -> SettingsManager:
+        if _LazySettings._inst is None:
+            _LazySettings._inst = SettingsManager()
+        return _LazySettings._inst
+
+    def __getitem__(self, k):
+        return self._get()[k]
+
+    def __setitem__(self, k, v):
+        s = self._get()
+        s[k] = v
+        s.save()
+
+    def __iter__(self):
+        return iter(self._get())
+
+    def __len__(self):
+        return len(self._get())
+
+    def keys(self):
+        return self._get().keys()
+
+    def items(self):
+        return self._get().items()
+
+    def __repr__(self):
+        return repr(dict(self._get()))
+
+
+SETTINGS = _LazySettings()
