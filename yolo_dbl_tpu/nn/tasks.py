@@ -33,7 +33,8 @@ import yaml
 
 from ..ops.resample import max_pool, nearest_upsample
 from . import blocks as B
-from .common import Conv, ConvTranspose2d, DSConv, DWConv, default_act_ctx, resolve_act
+from .common import (Conv, ConvTranspose2d, DSConv, DWConv, default_act,
+                     default_act_ctx, resolve_act)
 from .heads import Detect, decode_detections
 
 Dtype = Any
@@ -602,6 +603,29 @@ class YOLOModel(nn.Module):
         with default_act_ctx(resolve_act(act) if act else None):
             return self._forward(x, train, text)
 
+    def _stem_fusable(self, x, train) -> bool:
+        """True when layers 0-1 are the Conv(k3,s1)+Conv(k3,s2) opener that
+        the space-to-depth rewrite (ops/fused_stem.py) replaces verbatim."""
+        import os
+
+        # Opt-in: the rewrite wins in isolation (14 -> 4 ms for the pair,
+        # tools/exp_slope.py) but measured ~6% SLOWER e2e at b64 (625 vs 663
+        # img/s) — XLA's whole-graph scheduling already overlaps the stem's
+        # HBM traffic with downstream compute, and the s2d one-hot conv adds
+        # un-overlapped work. Kept for larger-batch / multi-chip configs
+        # where the stem is a bigger fraction.
+        if train or self.is_initializing() or not os.environ.get("YOLO_DBL_FUSED_STEM"):
+            return False
+        ls = self.spec.layers
+        if len(ls) < 2 or x.ndim != 4 or x.shape[1] % 2 or x.shape[2] % 2:
+            return False
+        l0, l1 = ls[0], ls[1]
+        ok0 = (l0.name == "Conv" and l0.f == -1 and l0.n == 1
+               and list(l0.args[2:4]) == [3, 1] and len(l0.args) <= 4)
+        ok1 = (l1.name == "Conv" and l1.f == -1 and l1.n == 1
+               and list(l1.args[2:4]) == [3, 2] and len(l1.args) <= 4)
+        return ok0 and ok1 and 0 not in self.spec.save
+
     def _forward(self, x, train: bool = False, text=None):
         y: List[Optional[jnp.ndarray]] = []
         out = x
@@ -611,7 +635,28 @@ class YOLOModel(nn.Module):
         ):
             # default text buffer, like the reference's randn txt_feats init
             txt = text = jnp.zeros((x.shape[0], self.spec.nc, 512), x.dtype)
+        skip_layers = ()
+        if self._stem_fusable(x, train):
+            from ..ops.fused_stem import fused_stem
+
+            def bn_tuple(v):
+                return (v["params"]["bn"]["scale"], v["params"]["bn"]["bias"],
+                        v["batch_stats"]["bn"]["mean"], v["batch_stats"]["bn"]["var"])
+
+            v0 = self._mods["layer0"].variables
+            v1 = self._mods["layer1"].variables
+            out = fused_stem(
+                x.astype(self.dtype),
+                v0["params"]["conv"]["kernel"], bn_tuple(v0),
+                v1["params"]["conv"]["kernel"], bn_tuple(v1),
+                default_act(),
+            )
+            y.append(None)  # layer 0 output never materialized
+            y.append(out if 1 in self.spec.save else None)
+            skip_layers = (0, 1)
         for layer in self.spec.layers:
+            if layer.i in skip_layers:
+                continue
             f = layer.f
             if isinstance(f, int):
                 inp = out if f == -1 else y[f]

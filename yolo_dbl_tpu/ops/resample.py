@@ -20,11 +20,23 @@ def nearest_upsample(x, scale: int = 2):
 
 
 def avg_pool2(x):
-    """2x2 average pool, stride 2, no padding (torch nn.AvgPool2d(2)) on NHWC."""
+    """2x2 average pool, stride 2, no padding (torch nn.AvgPool2d(2)) on NHWC.
+
+    Expressed as a depthwise 2x2 stride-2 conv: the reshape(b,h/2,2,w/2,2,c)
+    + mean form forces a sublane relayout on TPU (measured 2.48 ms at
+    64x80x80x256 bf16 vs 0.87 ms for the conv — tools/exp_pool_up.py);
+    XLA's conv path streams it at near-HBM speed. Same math: sum of the 4
+    phase taps x 0.25, fp32 accumulation on the MXU.
+    """
     b, h, w, c = x.shape
-    h2, w2 = h // 2, w // 2
-    x = x[:, : h2 * 2, : w2 * 2, :].reshape(b, h2, 2, w2, 2, c)
-    return x.mean(axis=(2, 4))
+    if h % 2 or w % 2:  # torch AvgPool2d(2) drops trailing odd row/col
+        x = x[:, : h // 2 * 2, : w // 2 * 2, :]
+    win = jnp.full((2, 2, 1, c), 0.25, x.dtype)
+    return jax.lax.conv_general_dilated(
+        x, win, (2, 2), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
 
 
 def max_pool(x, k: int, stride: int = 1, padding: int = 0):
