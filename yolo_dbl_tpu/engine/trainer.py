@@ -122,9 +122,14 @@ class Trainer:
         # Buffer donation of the TrainState halves peak HBM, but the axon TPU
         # plugin miscompiles donated train steps once the GT pad dimension is
         # >=16 (runtime INVALID_ARGUMENT; bisected 2026-08-16: identical step
-        # passes without donation). Donate everywhere else.
+        # passes without donation). Donate everywhere else. Re-test on plugin
+        # upgrades with YOLO_DBL_FORCE_DONATE=1 (runs one donated step; if it
+        # trains cleanly the gate below can be dropped).
+        import os as _os
+
         plat_ver = getattr(jax.devices()[0].client, "platform_version", "")
-        donate = () if "axon" in plat_ver.lower() else (0,)
+        gate_axon = "axon" in plat_ver.lower() and not _os.environ.get("YOLO_DBL_FORCE_DONATE")
+        donate = () if gate_axon else (0,)
         if self.mesh is not None:
             data_sharding = NamedSharding(self.mesh, P("data"))
             repl = NamedSharding(self.mesh, P())

@@ -78,9 +78,9 @@ def letterbox_normalize(images_u8, out_hw=(640, 640), tile_h=64, pad_value=114, 
         kernel,
         grid=(b, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, h_in, w_in, 3), lambda i, t: (i, 0, 0, 0), memory_space=pltpu.ANY)
+            pl.BlockSpec((1, h_in, w_in, 3), lambda i, t: (i, 0, 0, 0), memory_space=pl.ANY)
         ],
-        out_specs=pl.BlockSpec((1, tile_h, w_out, 3), lambda i, t: (i, t, 0, 0), memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec((1, tile_h, w_out, 3), lambda i, t: (i, t, 0, 0), memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((b, h_out, w_out, 3), jnp.float32),
         interpret=interpret,
     )(images_u8)
