@@ -60,3 +60,18 @@ def test_tflite_roundtrip(small_model, tmp_path):
     outs = [interp.get_tensor(d["index"]) for d in interp.get_output_details()]
     got = next(o for o in outs if o.shape == want.shape)
     assert np.allclose(got, want, rtol=1e-2, atol=1e-2), np.abs(got - want).max()
+
+
+@pytest.mark.slow
+def test_tflite_autobackend_loadback(small_model, tmp_path):
+    """AutoBackend dispatches .tflite files to the TF Lite interpreter and
+    matches the JAX forward (reference AutoBackend tflite branch)."""
+    m, v = small_model
+    out = Exporter(m, v, imgsz=IMGSZ, batch=1)("tflite", str(tmp_path / "model.tflite"))
+    x = np.random.RandomState(2).rand(1, IMGSZ, IMGSZ, 3).astype(np.float32)
+    want = np.asarray(m.predict(v, jnp.asarray(x)))
+    backend = AutoBackend(str(out), imgsz=IMGSZ)
+    got = np.asarray(backend(x))
+    assert backend.format == "tflite"
+    assert got.shape == want.shape
+    assert np.allclose(got, want, rtol=1e-2, atol=1e-2)

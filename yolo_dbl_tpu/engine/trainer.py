@@ -124,7 +124,8 @@ class Trainer:
         # >=16 (runtime INVALID_ARGUMENT; bisected 2026-08-16: identical step
         # passes without donation). Donate everywhere else. Re-test on plugin
         # upgrades with YOLO_DBL_FORCE_DONATE=1 (runs one donated step; if it
-        # trains cleanly the gate below can be dropped).
+        # trains cleanly the gate below can be dropped). Last re-test
+        # 2026-08-17: still reproduces (INVALID_ARGUMENT at first step).
         import os as _os
 
         plat_ver = getattr(jax.devices()[0].client, "platform_version", "")
@@ -140,7 +141,17 @@ class Trainer:
                 in_shardings=(None, data_sharding, repl),
                 donate_argnums=donate,
             )
-            self.state = jax.device_put(self.state, repl)
+            from ..parallel.shardings import model_axis_size, model_parallel_shardings
+
+            if model_axis_size(self.mesh) > 1:
+                # DP x TP: large kernels shard their out-channel dim over
+                # the 'model' axis (parallel/shardings.py); state arg uses
+                # in_shardings=None so the committed placement sticks and
+                # GSPMD inserts the gathers
+                st_sh = model_parallel_shardings(self.state, self.mesh)
+                self.state = jax.tree_util.tree_map(jax.device_put, self.state, st_sh)
+            else:
+                self.state = jax.device_put(self.state, repl)
         else:
             self._step_fn = jax.jit(step, donate_argnums=donate)
         return self

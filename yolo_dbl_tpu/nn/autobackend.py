@@ -55,6 +55,23 @@ class AutoBackend:
 
             self._fn = fn
             self.format = "saved_model"
+        elif suffix == ".tflite":
+            import tensorflow as tf
+
+            interp = tf.lite.Interpreter(model_path=str(self.path))
+            interp.allocate_tensors()
+            inp = interp.get_input_details()[0]
+            outs = interp.get_output_details()
+
+            def fn(img):
+                interp.set_tensor(inp["index"], np.asarray(img, np.float32))
+                interp.invoke()
+                res = [interp.get_tensor(d["index"]) for d in outs]
+                return jnp.asarray(res[0] if len(res) == 1 else
+                                   max(res, key=lambda a: a.size))
+
+            self._fn = fn
+            self.format = "tflite"
         elif suffix == ".yaml":
             # bare config → random-init model (reference AutoBackend pt-from-yaml path)
             from ..nn.tasks import DetectionModel
