@@ -294,3 +294,21 @@ def test_bgr_and_erasing(tmp_path):
     erased = random_erasing(img, np.random.default_rng(1), p=1.0)
     assert not np.array_equal(img, erased)
     assert np.array_equal(img, random_erasing(img, np.random.default_rng(1), p=0.0))
+
+
+def test_albumentations_extras_shapes_and_determinism():
+    """Pixel extras (blur/median/gray/CLAHE) keep shape/dtype; p=0 is identity;
+    forced-p transforms actually change pixels (reference augment.py:1735)."""
+    import numpy as np
+
+    from yolo_dbl_tpu.data.augment import albumentations_extras
+
+    img = (np.random.RandomState(0).rand(64, 64, 3) * 255).astype(np.uint8)
+    out = albumentations_extras(img.copy(), np.random.default_rng(0), p=0.0)
+    assert np.array_equal(out, img)
+    out = albumentations_extras(img.copy(), np.random.default_rng(0), p=1.0)
+    assert out.shape == img.shape and out.dtype == img.dtype
+    assert not np.array_equal(out, img)
+    # gray branch forces channel equality when applied alone
+    g = albumentations_extras(img.copy(), np.random.default_rng(3), p=1.0)
+    assert g.shape == (64, 64, 3)

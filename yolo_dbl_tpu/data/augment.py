@@ -300,6 +300,32 @@ def random_erasing(img: np.ndarray, rng: np.random.Generator, p: float = 0.0,
     return img
 
 
+def albumentations_extras(img: np.ndarray, rng: np.random.Generator, p: float = 0.01) -> np.ndarray:
+    """Pixel-level extras of the reference's Albumentations block
+    (augment.py:1735, p=0.01 each): Blur, MedianBlur, ToGray, CLAHE —
+    reimplemented on cv2 directly (the albumentations package itself is a
+    thin wrapper over these same calls)."""
+    import cv2
+
+    if p <= 0:
+        return img
+    if rng.random() < p:  # box blur, ksize 3..7 like A.Blur(blur_limit=7)
+        k = int(rng.integers(1, 4)) * 2 + 1
+        img = cv2.blur(img, (k, k))
+    if rng.random() < p:  # median blur
+        k = int(rng.integers(1, 4)) * 2 + 1
+        img = cv2.medianBlur(img, k)
+    if rng.random() < p:  # to gray (kept 3-channel)
+        g = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
+        img = cv2.cvtColor(g, cv2.COLOR_GRAY2RGB)
+    if rng.random() < p:  # CLAHE on the L channel, clip 1..4, 8x8 tiles
+        lab = cv2.cvtColor(img, cv2.COLOR_RGB2LAB)
+        clahe = cv2.createCLAHE(clipLimit=float(rng.uniform(1.0, 4.0)), tileGridSize=(8, 8))
+        lab[..., 0] = clahe.apply(lab[..., 0])
+        img = cv2.cvtColor(lab, cv2.COLOR_LAB2RGB)
+    return np.ascontiguousarray(img)
+
+
 def mosaic4(
     items: List[Tuple[np.ndarray, Dict]],
     imgsz: int,
@@ -368,9 +394,9 @@ def mixup(img1, labels1, img2, labels2, rng: np.random.Generator):
 
 class TrainTransforms:
     """Composed train-time pipeline (reference augment.py:2278 v8_transforms):
-    Mosaic → CopyPaste → RandomPerspective → MixUp → HSV → flips → BGR, then
-    normalized-xywh label formatting. Albumentations-style blur/CLAHE extras
-    are omitted (p≈0.01 in the reference). CopyPaste follows the reference's
+    Mosaic → CopyPaste → RandomPerspective → MixUp → Albumentations-style
+    pixel extras (blur/median/gray/CLAHE at p=0.01) → HSV → flips → BGR,
+    then normalized-xywh label formatting. CopyPaste follows the reference's
     two modes: 'flip' pastes mirrored segments of the same image before the
     affine; 'mixup' pastes segments from an independently mosaic+affine'd
     donor image after the affine (v8_transforms wiring, augment.py:2313)."""
@@ -441,6 +467,7 @@ class TrainTransforms:
             j = int(rng.integers(0, len(dataset)))
             img2, labels2, _ = self._geometry(dataset, j, rng, with_copy_paste=True)
             img, labels = mixup(img, labels, img2, labels2, rng)
+        img = albumentations_extras(img, rng, p=0.01)
         img = random_hsv(img, rng, self.hsv_h, self.hsv_s, self.hsv_v)
         img, labels = random_flip(img, labels, rng, fliplr=self.fliplr, flipud=self.flipud,
                                   flip_idx=self.flip_idx)
