@@ -100,7 +100,8 @@ def bilinear_upsample(x, scale: int = 2, align_corners: bool = True):
     return jnp.einsum("pw,bowc->bopc", mw, y)
 
 
-def grid_sample_bilinear(x, coords, padding_mode: str = "border", align_corners: bool = False):
+def grid_sample_bilinear(x, coords, padding_mode: str = "border", align_corners: bool = False,
+                         prefer_onehot: bool = True):
     """Bilinear grid sample, align_corners=False, 'border' or 'zeros' padding.
 
     Matches torch.nn.functional.grid_sample(x, grid, mode='bilinear',
@@ -110,6 +111,8 @@ def grid_sample_bilinear(x, coords, padding_mode: str = "border", align_corners:
     Args:
         x: (B, H, W, C) source features.
         coords: (B, Ho, Wo, 2) normalized sample grid in [-1, 1], xy order.
+        prefer_onehot: allow the one-hot-matmul fast path (pass False under
+            training — see sample_bilinear_pixel).
 
     Returns:
         (B, Ho, Wo, C) sampled features.
@@ -121,7 +124,7 @@ def grid_sample_bilinear(x, coords, padding_mode: str = "border", align_corners:
     else:
         gx = (coords[..., 0] + 1.0) * (w / 2.0) - 0.5
         gy = (coords[..., 1] + 1.0) * (h / 2.0) - 0.5
-    return sample_bilinear_pixel(x, gy, gx, padding_mode)
+    return sample_bilinear_pixel(x, gy, gx, padding_mode, prefer_onehot)
 
 
 # Sources up to this many pixels go through the one-hot-matmul sampling path
@@ -129,8 +132,10 @@ def grid_sample_bilinear(x, coords, padding_mode: str = "border", align_corners:
 # v5e at DySample's hot shapes (bg=256, c=64): one-hot 10.1 ms vs gather
 # 60.4 ms for 40x40 -> 80x80, 4.3 vs 18.8 ms for 20x20 -> 40x40.
 _ONEHOT_MAX_SRC = 4096
-# cap on materialized one-hot matrix bytes per lax.map chunk
-_ONEHOT_CHUNK_BYTES = 512 * 1024 * 1024
+# cap on materialized one-hot matrix bytes per lax.map chunk (sweep at b128
+# was flat across 128 MB-1 GB — tools/exp_dysample_chunk.py; smaller bounds
+# the backward-pass live set)
+_ONEHOT_CHUNK_BYTES = 256 * 1024 * 1024
 
 
 def _sample_bilinear_onehot(x, gy, gx, padding_mode):
@@ -163,6 +168,11 @@ def _sample_bilinear_onehot(x, gy, gx, padding_mode):
             wgt = wgt * inb.astype(wgt.dtype)
         return ((yic * w + xic)[..., None] == ar) * wgt[..., None]
 
+    # checkpoint: under grad, the (chunk, N, S) one-hot matrix must be
+    # REBUILT in the backward pass, not saved — lax.map's scan otherwise
+    # retains every chunk's A (observed: 5x 1.22 GB HLO temps OOMing a b16
+    # train step at 640)
+    @jax.checkpoint
     def build_and_mul(args):
         xf, yy0, xx0, wwy, wwx = args
         A = (
@@ -195,10 +205,16 @@ def _sample_bilinear_onehot(x, gy, gx, padding_mode):
     return out.reshape(b, *out_shape, c)
 
 
-def sample_bilinear_pixel(x, gy, gx, padding_mode: str = "border"):
-    """Bilinear sample NHWC `x` at pixel coordinates gy/gx (B, ...)."""
+def sample_bilinear_pixel(x, gy, gx, padding_mode: str = "border",
+                          prefer_onehot: bool = True):
+    """Bilinear sample NHWC `x` at pixel coordinates gy/gx (B, ...).
+
+    prefer_onehot=False forces the gather path — the right choice inside a
+    training step: the one-hot interpolation matrix is a 6x inference win on
+    the MXU but its backward residuals dominate HBM (pass not-train from the
+    caller, e.g. DySample)."""
     b, h, w, c = x.shape
-    if h * w <= _ONEHOT_MAX_SRC:
+    if prefer_onehot and h * w <= _ONEHOT_MAX_SRC:
         return _sample_bilinear_onehot(x, gy, gx, padding_mode)
     x0 = jnp.floor(gx)
     y0 = jnp.floor(gy)
