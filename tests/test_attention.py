@@ -189,3 +189,48 @@ def test_bra_full_topk_matches_dense_window_union():
     v = m.init(jax.random.PRNGKey(1), x)
     out = m.apply(v, x)
     assert np.isfinite(np.asarray(out)).all()
+
+
+TAIL_MODULES = [
+    A.AxialBlock_dynamic(C // 2, kernel_size=8),
+    A.AxialBlock_wopos(C // 2, kernel_size=8),
+    A.DeBiAttention_YOLO(C, C, num_heads=4, n_win=2),
+    A.ECALayer_ns(C),
+    A.ShiftWindowAttention(C, heads=4, window_size=4, shift_size=2),
+    A.FusedKQnA(n_q=1, n_channels=C, n_heads=4),
+]
+
+
+@pytest.mark.parametrize("module", TAIL_MODULES, ids=lambda m: type(m).__name__)
+def test_registry_tail_shapes(module):
+    """VERDICT r2 #6 tail: the last missing modules_attention exports
+    (AxialNet.py:307,348, DeBiFormer.py:1136, ECA.py:53, DAT/dat_blocks.py:92,
+    DAT/qna.py:17) keep (B, H, W, C) shape and emit finite values."""
+    out, x = _run(module)
+    assert out.shape == X_SHAPE
+    assert np.isfinite(out).all()
+
+
+def test_fused_kqna_stride_reduces_resolution():
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, C))
+    m = A.FusedKQnA(n_q=1, n_channels=C, n_heads=4, ksize=3, stride=2, padding=1)
+    v = m.init(jax.random.PRNGKey(1), x)
+    out = m.apply(v, x)
+    assert out.shape == (1, 4, 4, 2 * C)  # C·stride channels, H/stride
+
+
+def test_axial_dynamic_gates_position_terms():
+    """variant='dynamic' must differ from 'full' (gated qr/kr/sve) but agree
+    in shape; 'wopos' must have no 'relative' positional param."""
+    x = jax.random.normal(jax.random.PRNGKey(0), X_SHAPE)
+    full = A.AxialBlock(C // 2, kernel_size=8)
+    dyn = A.AxialBlock_dynamic(C // 2, kernel_size=8)
+    v = full.init(jax.random.PRNGKey(1), x)
+    o_full = full.apply(v, x)
+    o_dyn = dyn.apply(v, x)  # same param tree; gates change the math
+    assert o_full.shape == o_dyn.shape
+    assert not np.allclose(np.asarray(o_full), np.asarray(o_dyn))
+    wopos = A.AxialBlock_wopos(C // 2, kernel_size=8)
+    vw = wopos.init(jax.random.PRNGKey(1), x)
+    flat = jax.tree_util.tree_leaves_with_path(vw["params"])
+    assert not any("relative" in jax.tree_util.keystr(kp) for kp, _ in flat)

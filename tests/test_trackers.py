@@ -57,3 +57,37 @@ def test_botsort_runs_with_frames():
     assert out.shape[0] == 1
     out = t.update(np.array([_det(13, 10)]), frame)
     assert out.shape[0] == 1
+
+
+def test_bytetracker_det_idx_side_channel_alignment():
+    """Output col 7 must be the ORIGINATING detection row index, not the
+    track-list position, so masks/keypoints re-indexed by it stay aligned
+    (reference track.py on_predict_postprocess_end contract)."""
+    t = BYTETracker(new_track_thresh=0.5)
+    t.update(np.array([_det(10, 10), _det(100, 100)]))
+    # swap detection order on frame 2: track near (100,100) now comes FIRST
+    out = t.update(np.array([_det(102, 100), _det(12, 10)]))
+    assert out.shape[0] == 2
+    for row in out:
+        di = int(row[7])
+        if row[0] > 60:      # the (100,100) track → input row 0
+            assert di == 0
+        else:                # the (10,10) track → input row 1
+            assert di == 1
+
+
+def test_botsort_uses_xywh_measurements():
+    """BOTSORT builds BOTSTrack dets (xywh Kalman measurements), not plain
+    STracks whose to_xyah aspect-ratio form would corrupt KalmanFilterXYWH."""
+    from yolo_dbl_tpu.trackers.bot_sort import BOTSTrack
+
+    t = BOTSORT(new_track_thresh=0.5)
+    t.update(np.array([_det(10, 10)]), None)
+    assert all(isinstance(tr, BOTSTrack) for tr in t.tracked)
+    # a tall box (w != h) keeps its width under the xywh filter
+    t2 = BOTSORT(new_track_thresh=0.5)
+    d = np.array([[10.0, 10.0, 30.0, 90.0, 0.9, 0.0]])
+    t2.update(d, None)
+    out = t2.update(d, None)
+    w = out[0, 2] - out[0, 0]
+    assert abs(w - 20.0) < 2.0

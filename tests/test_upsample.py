@@ -256,3 +256,37 @@ def test_fga_sfau_eqsr():
     ve = e.init(jax.random.PRNGKey(7), img)
     ye = e.apply(ve, img)
     assert ye.shape == (1, 32, 32, 3) and bool(jnp.isfinite(ye).all())
+
+
+def test_carafe_pack_shapes():
+    """CARAFEPack (reference CARAFE_official.py:260): 2x content-aware
+    reassembly keeps channels, doubles spatial dims; kernels are softmax-
+    normalized per group."""
+    from yolo_dbl_tpu.nn.upsample import CARAFEPack
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 16))
+    m = CARAFEPack(16, scale_factor=2, up_kernel=5, compressed_channels=8)
+    v = m.init(jax.random.PRNGKey(1), x)
+    out = m.apply(v, x)
+    assert out.shape == (2, 16, 16, 16)
+    assert np.isfinite(np.asarray(out)).all()
+    # softmax-normalized kernels: constant input stays constant in the
+    # interior (borders see the unfold's zero padding, as in the CUDA op)
+    xc = jnp.ones((1, 8, 8, 16))
+    oc = np.asarray(m.apply(v, xc))
+    np.testing.assert_allclose(oc[:, 4:-4, 4:-4], 1.0, rtol=1e-5)
+
+
+def test_resblock_cbam_shapes():
+    from yolo_dbl_tpu.nn.upsample import ResBlock_CBAM
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 16))
+    m = ResBlock_CBAM(16, 16)
+    v = m.init(jax.random.PRNGKey(1), x)
+    out = m.apply(v, x)
+    assert out.shape == (2, 8, 8, 16)
+    # stride-2 + expansion variant projects the residual
+    m2 = ResBlock_CBAM(16, 16, stride=2, downsampling=True, expansion=2)
+    v2 = m2.init(jax.random.PRNGKey(1), x)
+    out2 = m2.apply(v2, x)
+    assert out2.shape == (2, 4, 4, 32)

@@ -125,6 +125,12 @@ class DataLoader:
         if isinstance(self.transforms, TrainTransforms):
             self.transforms.close_mosaic()
 
+    def set_epoch(self, epoch: int):
+        """Align the shuffle stream so the NEXT iteration reproduces epoch
+        index `epoch` (0-based) of a fresh run — the resume equivalent of
+        DistributedSampler.set_epoch (reference data/build.py:135)."""
+        self._epoch = int(epoch)
+
     def __len__(self):
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)

@@ -131,11 +131,31 @@ class YOLO:
         run_dir = Path(cfg.project or "runs") / (cfg.name or "train")
         run_dir.mkdir(parents=True, exist_ok=True)
         best_fitness, best_epoch = -1.0, -1
+        start_epoch = 0
+        resume = getattr(cfg, "resume", False)
+        if resume:
+            # reference check_resume/resume_training (engine/trainer.py:692,
+            # 724): restore params/opt_state/EMA/epoch/best_fitness from
+            # last.ckpt and continue the schedule; train args come from the
+            # checkpoint unless explicitly overridden this call
+            ckpt_path = Path(resume) if isinstance(resume, (str, Path)) else run_dir / "last.ckpt"
+            if not ckpt_path.is_file():
+                raise FileNotFoundError(f"resume checkpoint not found: {ckpt_path}")
+            meta = trainer.restore(ckpt_path)
+            best_fitness = float(meta["best_fitness"])
+            best_epoch = int(meta.get("best_epoch", -1))
+            start_epoch = int(meta.get("epoch", -1)) + 1
+            for k, v in (meta.get("train_args") or {}).items():
+                if k not in overrides and k != "resume" and hasattr(cfg, k):
+                    setattr(cfg, k, v)
+            train_loader.set_epoch(start_epoch)
         history = []
         rng = jax.random.PRNGKey(cfg.seed)
-        for epoch in range(cfg.epochs):
-            if cfg.close_mosaic and epoch == cfg.epochs - cfg.close_mosaic:
+        mosaic_closed = False
+        for epoch in range(start_epoch, cfg.epochs):
+            if cfg.close_mosaic and not mosaic_closed and epoch >= cfg.epochs - cfg.close_mosaic:
                 train_loader.close_mosaic()
+                mosaic_closed = True
             t0 = time.time()
             running, count = {}, 0
             if cfg.multi_scale:
@@ -161,11 +181,12 @@ class YOLO:
             avg.update(epoch=epoch, seconds=time.time() - t0, **{f"val_{k}": v for k, v in val_metrics.items()
                                                                 if isinstance(v, (int, float))})
             history.append(avg)
-            save_checkpoint(run_dir / "last.ckpt", trainer.state, best_fitness=max(fitness, best_fitness),
-                            train_args=dict(overrides), metrics=val_metrics)
             if fitness > best_fitness:
                 best_fitness, best_epoch = fitness, epoch
                 save_deploy(run_dir / "best.ckpt", ema_vars, model_yaml=self.model.yaml, nc=self.model.nc)
+            save_checkpoint(run_dir / "last.ckpt", trainer.state, best_fitness=best_fitness,
+                            train_args=dict(overrides), metrics=val_metrics,
+                            epoch=epoch, best_epoch=best_epoch)
             if cfg.patience and epoch - best_epoch >= cfg.patience:
                 break
         self.variables = {"params": trainer.state.ema_params, "batch_stats": trainer.state.batch_stats}

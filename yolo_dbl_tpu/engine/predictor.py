@@ -414,8 +414,9 @@ class SegmentationPredictor(BasePredictor):
     def infer(self, variables, img):
         from ..nn.heads import flatten_levels
 
-        det_maps, coeffs, protos = self.model.apply(variables, img)
-        pred = self.model.predict(variables, img)
+        outputs = self.model.apply(variables, img)
+        det_maps, coeffs, protos = outputs
+        pred = self.model.decode_outputs(outputs, img_size=img.shape[1])
         dets, num, anchor_idx = non_max_suppression(
             pred, conf_thres=self.conf, iou_thres=self.iou, max_det=self.max_det,
             nc=self.model.nc, return_idx=True)
@@ -461,8 +462,9 @@ class PosePredictor(BasePredictor):
         from ..nn.heads import flatten_levels
         from ..ops.anchors import make_anchors
 
-        det_maps, kpt_maps = self.model.apply(variables, img)
-        pred = self.model.predict(variables, img)
+        outputs = self.model.apply(variables, img)
+        det_maps, kpt_maps = outputs
+        pred = self.model.decode_outputs(outputs, img_size=img.shape[1])
         dets, num, anchor_idx = non_max_suppression(
             pred, conf_thres=self.conf, iou_thres=self.iou, max_det=self.max_det,
             nc=self.model.nc, return_idx=True)
@@ -472,6 +474,11 @@ class PosePredictor(BasePredictor):
         pk = flatten_levels(kpt_maps).reshape(img.shape[0], -1, nk, nd)
         dec = kpts_decode(anchors, pk)
         dec = dec.at[..., :2].multiply(stride_t[None, :, :, None])
+        if nd == 3:
+            # visibility channel is a raw logit; the reference Pose head
+            # sigmoids it at inference (modules/head.py kpts_decode) so
+            # Keypoints.conf / plot gates compare in probability space
+            dec = dec.at[..., 2].set(jax.nn.sigmoid(dec[..., 2]))
         kept = jnp.take_along_axis(dec, anchor_idx[..., None, None], axis=1)
         return dets, num, kept
 

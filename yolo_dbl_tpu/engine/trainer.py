@@ -156,6 +156,25 @@ class Trainer:
             self._step_fn = jax.jit(step, donate_argnums=donate)
         return self
 
+    def restore(self, path) -> Dict:
+        """Restore {params, opt_state, EMA, step, batch_stats} from a
+        last.ckpt (reference resume_training, engine/trainer.py:724). Must be
+        called after setup(); re-applies the mesh placement so a resumed
+        multi-chip run keeps its shardings."""
+        from ..utils.checkpoint import load_checkpoint
+
+        state, meta = load_checkpoint(path, self.state)
+        if self.mesh is not None:
+            from ..parallel.shardings import model_axis_size, model_parallel_shardings
+
+            if model_axis_size(self.mesh) > 1:
+                st_sh = model_parallel_shardings(state, self.mesh)
+                state = jax.tree_util.tree_map(jax.device_put, state, st_sh)
+            else:
+                state = jax.device_put(state, NamedSharding(self.mesh, P()))
+        self.state = state
+        return meta
+
     def shard_batch(self, batch: Dict) -> Dict:
         if self.mesh is None:
             return {k: jnp.asarray(v) for k, v in batch.items()}

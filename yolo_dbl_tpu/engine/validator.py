@@ -107,8 +107,9 @@ class SegmentationValidator:
         self.conf, self.iou, self.max_det = conf, iou, max_det
 
         def infer(variables, img):
-            det_maps, coeffs, protos = model.apply(variables, img)
-            pred = model.predict(variables, img)
+            outputs = model.apply(variables, img)
+            det_maps, coeffs, protos = outputs
+            pred = model.decode_outputs(outputs, img_size=img.shape[1])
             dets, num, anchor_idx = non_max_suppression(
                 pred, conf_thres=conf, iou_thres=iou, max_det=max_det,
                 nc=model.nc, return_idx=True)
@@ -163,8 +164,9 @@ class PoseValidator:
         self.kpt_shape = kpt_shape
 
         def infer(variables, img):
-            det_maps, kpt_maps = model.apply(variables, img)
-            pred = model.predict(variables, img)
+            outputs = model.apply(variables, img)
+            det_maps, kpt_maps = outputs
+            pred = model.decode_outputs(outputs, img_size=img.shape[1])
             dets, num, anchor_idx = non_max_suppression(
                 pred, conf_thres=conf, iou_thres=iou, max_det=max_det,
                 nc=model.nc, return_idx=True)
@@ -174,6 +176,8 @@ class PoseValidator:
             pk = flatten_levels(kpt_maps).reshape(img.shape[0], -1, nk, nd)
             dec = kpts_decode(anchors, pk)  # grid units
             dec = dec.at[..., :2].multiply(stride_t[None, :, :, None])
+            if nd == 3:  # visibility logits → probabilities (match predictor)
+                dec = dec.at[..., 2].set(jax.nn.sigmoid(dec[..., 2]))
             kept = jnp.take_along_axis(dec, anchor_idx[..., None, None], axis=1)
             return dets, num, kept
 

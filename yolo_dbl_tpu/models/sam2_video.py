@@ -160,7 +160,11 @@ class SAM2VideoPredictor:
         x = self._prep(frame)
         enc = self._encode_image(x)
         src = enc["vision_features"]
-        pts = np.asarray(points, np.float32) * (self.image_size / np.asarray(frame).shape[-2])
+        # _prep resizes to a square, so prompt (x, y) scale per-axis:
+        # x by image_size/W, y by image_size/H (frame is HWC or BHWC)
+        fh, fw = np.asarray(frame).shape[-3:-1]
+        pts = np.asarray(points, np.float32) * np.array(
+            [self.image_size / fw, self.image_size / fh], np.float32)
         masks, iou = self._decode(src, pts, np.asarray(labels, np.int32))
         mask_logits = self._upmask(masks)
         state = self.objects.setdefault(obj_id, _ObjectState())

@@ -149,12 +149,20 @@ class Outlooker(nn.Module):
 
 class AxialAttention(nn.Module):
     """Single-axis attention with relative q/k/v position embeddings and
-    BN-regularized similarity (reference AxialNet.py:14)."""
+    BN-regularized similarity (reference AxialNet.py:14).
+
+    variant='full'    — stock MedT axial attention (AxialNet.py:14)
+    variant='dynamic' — position terms gated by fixed priority factors
+                        f_qr=f_kr=f_sve=0.1, f_sv=1.0 (AxialNet.py:101,
+                        nn.Parameters with requires_grad=False)
+    variant='wopos'   — no positional embeddings at all (AxialNet.py:197)
+    """
 
     out_planes: int
     groups: int = 8
     kernel_size: int = 56
     width: bool = False
+    variant: str = "full"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -169,6 +177,20 @@ class AxialAttention(nn.Module):
         qkv = qkv.reshape(b * keep, l, self.groups, gp * 2)
         q, k, v = jnp.split(qkv, [gp // 2, gp], axis=-1)
 
+        if self.variant == "wopos":
+            qk = jnp.einsum("nigc,njgc->ngij", q, k)
+            sim = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn_similarity")(
+                qk.transpose(0, 2, 3, 1)
+            ).transpose(0, 3, 1, 2)
+            attn = jax.nn.softmax(sim, axis=-1)
+            sv = jnp.einsum("ngij,njgc->nigc", attn, v)
+            out = sv.reshape(b * keep, l, self.out_planes)
+            out = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn_output")(out)
+            out = out.reshape(b, keep, l, self.out_planes)
+            if self.width:
+                out = jnp.swapaxes(out, 1, 2)
+            return out
+
         rel = self.param("relative", nn.initializers.normal(1.0), (gp * 2, 2 * self.kernel_size - 1))
         qi = jnp.arange(self.kernel_size)[None, :]
         ki = jnp.arange(self.kernel_size)[:, None]
@@ -178,17 +200,19 @@ class AxialAttention(nn.Module):
             emb = jax.image.resize(emb, (gp * 2, l, l), "linear")
         q_emb, k_emb, v_emb = jnp.split(emb, [gp // 2, gp], axis=0)
 
+        dyn = self.variant == "dynamic"
+        f_qr, f_kr, f_sv, f_sve = (0.1, 0.1, 1.0, 0.1) if dyn else (1.0, 1.0, 1.0, 1.0)
         qk = jnp.einsum("nigc,njgc->ngij", q, k)
-        qr = jnp.einsum("nigc,cij->ngij", q, q_emb)
-        kr = jnp.einsum("njgc,cij->ngij", k, k_emb).transpose(0, 1, 3, 2)
+        qr = jnp.einsum("nigc,cij->ngij", q, q_emb) * f_qr
+        kr = jnp.einsum("njgc,cij->ngij", k, k_emb).transpose(0, 1, 3, 2) * f_kr
         stacked = jnp.concatenate([qk, qr, kr], axis=1)  # (N, 3g, L, L)
         stacked = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn_similarity")(
             stacked.transpose(0, 2, 3, 1)
         ).transpose(0, 3, 1, 2)
         sim = stacked.reshape(b * keep, 3, self.groups, l, l).sum(axis=1)
         attn = jax.nn.softmax(sim, axis=-1)
-        sv = jnp.einsum("ngij,njgc->nigc", attn, v)
-        sve = jnp.einsum("ngij,cij->nigc", attn, v_emb)
+        sv = jnp.einsum("ngij,njgc->nigc", attn, v) * f_sv
+        sve = jnp.einsum("ngij,cij->nigc", attn, v_emb) * f_sve
         out = jnp.concatenate([sv, sve], axis=-1).reshape(b * keep, l, self.groups * gp * 2)
         out = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn_output")(out)
         out = out.reshape(b, keep, l, self.out_planes, 2).sum(axis=-1)
@@ -199,11 +223,15 @@ class AxialAttention(nn.Module):
 
 class AxialBlock(nn.Module):
     """Axial bottleneck: 1×1 down → H-axis attn → W-axis attn → 1×1 up ×2,
-    residual (reference AxialNet.py:264; _YOLO at :732 uses planes=c1//2)."""
+    residual (reference AxialNet.py:264; _YOLO at :732 uses planes=c1//2).
+    variant selects the inner attention: 'full' (AxialBlock), 'dynamic'
+    (AxialBlock_dynamic, AxialNet.py:307), 'wopos' (AxialBlock_wopos,
+    AxialNet.py:348)."""
 
     planes: int
     groups: int = 1
     kernel_size: int = 56
+    variant: str = "full"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -216,13 +244,27 @@ class AxialBlock(nn.Module):
             return nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name=f"{name}_bn")(y)
 
         y = nn.relu(conv_bn(x, width, "down"))
-        y = AxialAttention(width, self.groups, self.kernel_size, width=False, dtype=self.dtype, name="hight")(y, train)
-        y = AxialAttention(width, self.groups, self.kernel_size, width=True, dtype=self.dtype, name="width")(y, train)
+        y = AxialAttention(width, self.groups, self.kernel_size, width=False,
+                           variant=self.variant, dtype=self.dtype, name="hight")(y, train)
+        y = AxialAttention(width, self.groups, self.kernel_size, width=True,
+                           variant=self.variant, dtype=self.dtype, name="width")(y, train)
         y = nn.relu(y)
         y = conv_bn(y, self.planes * 2, "up")
         if c1 != self.planes * 2:
             x = conv_bn(x, self.planes * 2, "downsample")
         return nn.relu(x + y)
+
+
+class AxialBlock_dynamic(AxialBlock):
+    """AxialBlock with gated position encoding (reference AxialNet.py:307)."""
+
+    variant: str = "dynamic"
+
+
+class AxialBlock_wopos(AxialBlock):
+    """AxialBlock without positional embeddings (reference AxialNet.py:348)."""
+
+    variant: str = "wopos"
 
 
 class DAttention(nn.Module):
@@ -339,3 +381,133 @@ class SwinTransformer(nn.Module):
                 dtype=self.dtype, name=f"blk{i}",
             )(x, train)
         return x
+
+
+class DeBiAttention_YOLO(nn.Module):
+    """YOLO wrapper for deformable bi-level routing attention (reference
+    DeBiFormer.py:1136): optional 1×1 projection when c1 ≠ c2, then the
+    DeBiLevelRoutingAttention core (here DeBiAttentionBlock, the same
+    deform→BRA composition, with auto-pad handled inside BiFormerNCHW)."""
+
+    c1: int
+    c2: int = 0
+    num_heads: int = 8
+    n_win: int = 7
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c2 = self.c2 or self.c1
+        if x.shape[-1] != c2:
+            x = Conv2d(c2, 1, dtype=self.dtype, name="project")(x)
+        return DeBiAttentionBlock(c2, self.num_heads, self.n_win,
+                                  dtype=self.dtype, name="attn")(x, train)
+
+
+class ShiftWindowAttention(nn.Module):
+    """Shifted-window attention (reference DAT/dat_blocks.py:92
+    ShiftWindowAttention over LocalAttention:30): roll by -shift, W-MSA with
+    the static SW-MSA mask and relative position bias, roll back."""
+
+    dim: int
+    heads: int = 8
+    window_size: int = 7
+    shift_size: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ..structures.swin import (WindowAttention, _shift_mask,
+                                       window_partition, window_reverse)
+
+        b, h, w, c = x.shape
+        ws = self.window_size
+        shift = self.shift_size if min(h, w) > ws else 0
+        pad_h = (ws - h % ws) % ws
+        pad_w = (ws - w % ws) % ws
+        y = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+        hp, wp = h + pad_h, w + pad_w
+        if shift:
+            y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+            mask = jnp.asarray(_shift_mask(hp, wp, ws, shift))
+        else:
+            mask = None
+        wins = window_partition(y, ws).reshape(-1, ws * ws, c)
+        wins = WindowAttention(self.dim, ws, self.heads, dtype=self.dtype,
+                               name="attn")(wins, mask, train)
+        y = window_reverse(wins.reshape(-1, ws, ws, c), ws, hp, wp)
+        if shift:
+            y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        return y[:, :h, :w]
+
+
+class FusedKQnA(nn.Module):
+    """Fused query-and-attend (reference DAT/qna.py:17): n_q learned queries
+    attend to every pixel; numerator/denominator aggregation over k×k
+    neighborhoods expressed as grouped depthwise convs whose kernels are the
+    (activated) relative-position-bias × attn-scale tables — identical math,
+    MXU/VPU-friendly (no unfold)."""
+
+    n_q: int
+    n_channels: int
+    n_heads: int = 8
+    ksize: int = 3
+    stride: int = 1
+    padding: int = 1
+    qna_activation: str = "exp"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        hs = self.n_heads * self.stride
+        cs = self.n_channels * self.stride
+        hc = self.n_channels // self.n_heads
+        k = nn.Dense(cs, use_bias=False, dtype=self.dtype, name="proj_k")(x)
+        v = nn.Dense(cs, use_bias=False, dtype=self.dtype, name="proj_v")(x)
+        q = self.param("q_param", nn.initializers.truncated_normal(math.sqrt(1.0 / hc)),
+                       (self.n_q, cs))
+        attn_scale = self.param("attn_scale", nn.initializers.normal(0.02),
+                                (self.ksize * self.ksize, self.n_q * hs))
+        rpb = self.param("rpb_table", nn.initializers.truncated_normal(0.02),
+                         (self.ksize * self.ksize, self.n_q * hs))
+
+        qh = q.reshape(self.n_q, hs, hc).astype(x.dtype) * hc ** -0.5
+        kh = k.reshape(b, h * w, hs, hc)
+        # (B, N, n_q, heads·stride) pixel-query affinity
+        qkT = jnp.einsum("qgc,bngc->bnqg", qh, kh)
+
+        def act(t):
+            if self.qna_activation == "exp":
+                return jnp.exp(t - jax.lax.stop_gradient(t.max()))
+            if self.qna_activation == "sigmoid":
+                return jax.nn.sigmoid(t)
+            return t
+
+        cost = act(qkT)  # (B, N, n_q, hs)
+        rpb_act = act(rpb).reshape(self.ksize, self.ksize, 1, self.n_q * hs)
+        scale_k = attn_scale.reshape(self.ksize, self.ksize, 1, self.n_q * hs)
+
+        # numerator: depthwise conv of cost-weighted values with the
+        # (rpb·scale) kernel, one filter per (q, head, channel)
+        vq = cost[..., None] * v.reshape(b, h * w, 1, hs, hc)
+        vq = vq.reshape(b, h, w, self.n_q * hs * hc)
+        num_kern = jnp.repeat(rpb_act * scale_k, hc, axis=3).astype(x.dtype)
+        num = jax.lax.conv_general_dilated(
+            vq, num_kern, (self.stride, self.stride),
+            [(self.padding, self.padding)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.n_q * hs * hc)
+        # denominator: same aggregation of the bare affinities
+        cq = cost.reshape(b, h, w, self.n_q * hs)
+        den = jax.lax.conv_general_dilated(
+            cq, rpb_act.astype(x.dtype), (self.stride, self.stride),
+            [(self.padding, self.padding)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.n_q * hs)
+        ho, wo = num.shape[1:3]
+        out = num.reshape(b, ho, wo, self.n_q, hs * hc) / (
+            den.reshape(b, ho, wo, self.n_q, hs)[..., None]
+            .repeat(hc, axis=-1).reshape(b, ho, wo, self.n_q, hs * hc))
+        out = out.sum(axis=3)  # (B, Ho, Wo, C·stride)
+        return Conv2d(cs, 1, bias=False, dtype=self.dtype, name="proj_out")(out)

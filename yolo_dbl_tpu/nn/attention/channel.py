@@ -374,3 +374,27 @@ class CoTNetLayer(nn.Module):
         att = att.reshape(b, h * w, c)
         k2 = jax.nn.softmax(att, axis=1) * v.reshape(b, h * w, c)  # softmax over positions
         return k1 + k2.reshape(b, h, w, c)
+
+
+class ECALayer_ns(nn.Module):
+    """ECA 'no squeeze' (reference ECA.py:53): each channel's gate is a
+    learned k-tap combination of its OWN pooled neighborhood (grouped conv1d
+    with groups=channel, i.e. per-channel weights, not the shared k-tap of
+    plain ECA)."""
+
+    channel: int
+    k_size: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        y = x.mean(axis=(1, 2))  # (B, C)
+        p = (self.k_size - 1) // 2
+        yp = jnp.pad(y, ((0, 0), (p, p)))
+        # (B, C, k) pooled neighborhood of each channel (torch unfold)
+        nb = jnp.stack([yp[:, i:i + c] for i in range(self.k_size)], axis=-1)
+        wgt = self.param("conv", nn.initializers.lecun_normal(),
+                         (c, self.k_size)).astype(x.dtype)
+        g = jax.nn.sigmoid((nb * wgt[None]).sum(-1))  # (B, C)
+        return x * g[:, None, None, :]

@@ -106,6 +106,8 @@ _C2_SCALED = {
     # (tasks.py:1030-1045): CoordAttention, GAM, MHSA_YOLO, EfficientAttention_YOLO
     "CoordAttention", "GAM", "MHSA_YOLO", "EfficientAttention_YOLO",
     "FEM", "C3k2_EFE", "SPDConv", "PSAModule", "CPCA_YOLO", "SwinTransformer", "Outlooker_YOLO", "M2C2f", "C3k2_EAMC", "C2f_PIG", "C2f_WT",
+    # (c1, c2) family additions at reference tasks.py:1023,1027
+    "ResBlock_CBAM", "DeBiAttention_YOLO",
     # structures family registered with (c1, c2) in the reference (tasks.py:1036-1046)
     "UIB", "RepViTBlock", "GhostModuleV3", "GhostBottleneckV3", "GhostModuleV2",
     "GhostBottleneckV2", "PatchEmbed", "SwinStage", "PatchMerging", "EffBlock",
@@ -128,6 +130,9 @@ _C1_ONLY = {
     # extensions beyond the reference registry (reachable only from test.py
     # there; YAML-reachable here): c1-only by construction
     "ECALayer", "SimAM", "MLCA", "ScConv", "PConv", "CPCA", "MQA",
+    # round-3 tail (VERDICT r2 #6): c1-only by construction
+    "AxialBlock_dynamic", "AxialBlock_wopos", "ECALayer_ns",
+    "ShiftWindowAttention", "FusedKQnA", "CARAFEPack",
 }
 
 
@@ -333,6 +338,17 @@ def _attention_builders():
         "DAT_YOLO": lambda a, d, n: A.DAT(a[0], *a[1:], dtype=d, name=n),
         "DeBiAttentionBlock": lambda a, d, n: A.DeBiAttentionBlock(a[0], *a[1:], dtype=d, name=n),
         "AxialBlock_YOLO": lambda a, d, n: A.AxialBlock(a[0] // 2, kernel_size=a[1] if len(a) > 1 else 20, dtype=d, name=n),
+        "AxialBlock_dynamic": lambda a, d, n: A.AxialBlock_dynamic(
+            a[0] // 2, kernel_size=a[1] if len(a) > 1 else 20, dtype=d, name=n),
+        "AxialBlock_wopos": lambda a, d, n: A.AxialBlock_wopos(
+            a[0] // 2, kernel_size=a[1] if len(a) > 1 else 20, dtype=d, name=n),
+        "DeBiAttention_YOLO": lambda a, d, n: A.DeBiAttention_YOLO(a[0], a[1], *a[2:], dtype=d, name=n),
+        "ECALayer_ns": lambda a, d, n: A.ECALayer_ns(a[0], a[1] if len(a) > 1 else 3, dtype=d, name=n),
+        "ShiftWindowAttention": lambda a, d, n: A.ShiftWindowAttention(a[0], *a[1:], dtype=d, name=n),
+        "FusedKQnA": lambda a, d, n: A.FusedKQnA(
+            n_q=a[1] if len(a) > 1 else 1, n_channels=a[0],
+            n_heads=a[2] if len(a) > 2 else 8, ksize=a[3] if len(a) > 3 else 3,
+            dtype=d, name=n),
         "Outlooker_YOLO": lambda a, d, n: A.Outlooker(a[1], *a[2:], dtype=d, name=n),
         "SwinTransformer": lambda a, d, n: A.SwinTransformer(a[0], a[1], *a[2:], dtype=d, name=n),
         "AIFI": lambda a, d, n: A.AIFI(
@@ -377,6 +393,8 @@ def _upsample_builders():
         "C2f_WT": lambda a, d, n: U.C2f_WT(a[1], *a[2:], dtype=d, name=n),
         "C3k2_EAMC": lambda a, d, n: U.C3k2_EAMC(a[1], *a[2:], dtype=d, name=n),
         "CARAFEplusplus": lambda a, d, n: U.CARAFEplusplus(a[0], *a[1:], dtype=d, name=n),
+        "CARAFEPack": lambda a, d, n: U.CARAFEPack(a[0], *a[1:], dtype=d, name=n),
+        "ResBlock_CBAM": lambda a, d, n: U.ResBlock_CBAM(a[0], a[1], *a[2:], dtype=d, name=n),
         "LDA_AQU": lambda a, d, n: U.LDA_AQU(a[0], *a[1:], dtype=d, name=n),
         "FFM_Concat3": lambda a, d, n: U.FFM_Concat3(a[0], a[1], a[2], a[3], dtype=d, name=n),
     }
@@ -774,6 +792,12 @@ class DetectionModel:
         """Raw maps → decoded (B, 4+nc, A) predictions. For end2end (v10)
         heads the one2one branch is decoded (reference forward_end2end)."""
         feats = self.module.apply(variables, x, train=False)
+        return self.decode_outputs(feats, img_size=x.shape[1])
+
+    def decode_outputs(self, feats, img_size=None):
+        """Decode already-computed forward outputs (so task predictors that
+        need the raw side maps — Segment coeffs, Pose kpt maps — run the
+        forward ONCE and decode from it, instead of a second apply)."""
         if isinstance(feats, dict):
             feats = feats["one2one"]
         elif isinstance(feats, tuple) and len(feats) and not hasattr(feats[0], "shape"):
@@ -787,7 +811,7 @@ class DetectionModel:
         if self.head_name == "RTDETRDecoder":
             from ..models.rtdetr import rtdetr_postprocess
             dec_bboxes, dec_scores = feats[0], feats[1]
-            return rtdetr_postprocess(dec_bboxes, dec_scores, img_size=x.shape[1])
+            return rtdetr_postprocess(dec_bboxes, dec_scores, img_size=img_size)
         return decode_detections(feats, self.strides, self.nc, self.reg_max)
 
     def predict_tta(self, variables, x):

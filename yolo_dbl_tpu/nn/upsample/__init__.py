@@ -11,7 +11,7 @@ from .sfau import SFAU
 from .attn_up import AnyUp, AnyUpPack, JAFAR, RoPE as UpRoPE
 from .loftup_dlu import DLUPack, ImplicitFeaturizer, LoftUp
 from .pig import C2f_PIG, C2f_WT, InceptionDWConv2d, WTConv2d, wavelet_transform, inverse_wavelet_transform
-from .carafe import CARAFE, CARAFE_XiaLiPKU, CARAFE_simplified, DLU
+from .carafe import CARAFE, CARAFE_XiaLiPKU, CARAFE_simplified, CARAFEPack, DLU
 from .fade_sapa import FADE, FADELite, SAPA, carafe_apply
 from .misc import (
     CAA,
@@ -24,6 +24,7 @@ from .misc import (
     MEUM,
     Multibranch,
     OmniKernel,
+    ResBlock_CBAM,
     SCAM,
     SPDConv,
     C3k2_EFE,
@@ -33,6 +34,7 @@ __all__ = [
     "AnyUp", "AnyUpPack", "JAFAR", "LoftUp", "DLUPack", "ImplicitFeaturizer",
     "FGA", "SFAU", "EQSR", "SubPixelMLP",
     "C2f_PIG",
+    "ResBlock_CBAM",
     "C2f_WT",
     "InceptionDWConv2d",
     "WTConv2d",
@@ -50,6 +52,7 @@ __all__ = [
     "SAPA",
     "carafe_apply",
     "CARAFE",
+    "CARAFEPack",
     "CARAFE_XiaLiPKU",
     "CARAFE_simplified",
     "DLU",

@@ -136,3 +136,38 @@ class DLU(_OfficialStyleCARAFE):
     CARAFE with a depthwise-separable kernel encoder."""
 
     dsconv_enc: bool = True
+
+
+class CARAFEPack(nn.Module):
+    """Official CARAFE package (reference CARAFE_official.py:260): 1×1
+    channel compressor → content encoder predicting s²·g·k² kernels at LOW
+    res → pixel-shuffle to hi-res → softmax over k² per group → reassemble
+    k×k low-res neighborhoods (expressed as a dilated unfold over the
+    nearest-upsampled input — same gather the CUDA op does)."""
+
+    channels: int
+    scale_factor: int = 2
+    up_kernel: int = 5
+    up_group: int = 1
+    encoder_kernel: int = 3
+    encoder_dilation: int = 1
+    compressed_channels: int = 64
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        s, ku, g = self.scale_factor, self.up_kernel, self.up_group
+        comp = Conv2d(self.compressed_channels, 1, dtype=self.dtype, name="channel_compressor")(x)
+        pad = (self.encoder_kernel - 1) * self.encoder_dilation // 2
+        mask = Conv2d(ku * ku * g * s * s, self.encoder_kernel, p=pad,
+                      d=self.encoder_dilation, dtype=self.dtype, name="content_encoder")(comp)
+        # kernel_normalizer: shuffle to hi-res, softmax over the k² axis
+        mask = pixel_shuffle(mask, s)  # (B, sH, sW, g·k²)
+        mask = mask.reshape(b, s * h, s * w, g, ku * ku)
+        mask = jax.nn.softmax(mask, axis=-1)
+        up = nearest_upsample(x, s)
+        patches = _unfold_patches(up, ku, dilation=s)  # (B, sH, sW, C, k²)
+        patches = patches.reshape(b, s * h, s * w, g, c // g, ku * ku)
+        out = jnp.einsum("bhwgck,bhwgk->bhwgc", patches, mask)
+        return out.reshape(b, s * h, s * w, c)

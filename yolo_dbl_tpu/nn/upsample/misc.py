@@ -340,3 +340,38 @@ class CAA(nn.Module):
                    dtype=self.dtype, name="v_conv")(y)
         y = Conv(c, 1, dtype=self.dtype, name="conv2")(y, train)
         return nn.sigmoid(y) * x
+
+
+class ResBlock_CBAM(nn.Module):
+    """Residual bottleneck + CBAM (reference YOLO_RACE.py:56): 1×1 → 3×3(s)
+    → 1×1 convs with BN/LeakyReLU(0.1), CBAM gate, residual (projected when
+    downsampling), final ReLU."""
+
+    in_places: int
+    places: int = 0
+    stride: int = 1
+    downsampling: bool = False
+    expansion: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ..attention.channel import CBAM
+
+        places = self.places or self.in_places
+        out_c = places * self.expansion
+
+        def cbl(y, cc, k, s, name):
+            y = nn.Conv(cc, (k, k), (s, s), "SAME" if k > 1 else "VALID",
+                        use_bias=False, dtype=self.dtype, name=f"{name}_conv")(y)
+            return nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                                name=f"{name}_bn")(y)
+
+        y = nn.leaky_relu(cbl(x, places, 1, 1, "b0"), 0.1)
+        y = nn.leaky_relu(cbl(y, places, 3, self.stride, "b1"), 0.1)
+        y = cbl(y, out_c, 1, 1, "b2")
+        y = CBAM(out_c, dtype=self.dtype, name="cbam")(y, train)
+        res = x
+        if self.downsampling or x.shape[-1] != out_c or self.stride != 1:
+            res = cbl(x, out_c, 1, self.stride, "downsample")
+        return nn.relu(y + res)

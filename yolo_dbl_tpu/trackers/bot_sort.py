@@ -79,6 +79,8 @@ class BOTSTrack(STrack):
 
 
 class BOTSORT(BYTETracker):
+    det_class = BOTSTrack  # xywh measurements to match KalmanFilterXYWH
+
     def __init__(self, proximity_thresh=0.5, appearance_thresh=0.25, with_reid=False,
                  gmc_downscale=2, reid_embedder=None, **kwargs):
         super().__init__(**kwargs)
@@ -96,13 +98,8 @@ class BOTSORT(BYTETracker):
         # BYTETracker association with BOTSTrack wrappers (fused cost handled
         # by the high-score gate: IoU distance + (1-score)/2 like the reference)
         dets = np.asarray(dets, np.float64).reshape(-1, 6)
-        return self._update_fused(dets)
-
-    def _update_fused(self, dets):
-        # reuse the parent two-stage logic but with BOTSTrack instances
-        orig_strack = STrack.__init__
-        out = BYTETracker.update(self, dets)
-        return out
+        # reuse the parent two-stage logic; det_class makes it build BOTSTracks
+        return BYTETracker.update(self, dets)
 
     @staticmethod
     def fuse_score(cost: np.ndarray, scores: np.ndarray) -> np.ndarray:

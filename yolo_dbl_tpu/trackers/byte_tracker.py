@@ -47,10 +47,14 @@ def linear_assignment(cost: np.ndarray, thresh: float) -> Tuple[list, list, list
 class STrack:
     _count = 0
 
-    def __init__(self, xyxy, score, cls):
+    def __init__(self, xyxy, score, cls, det_idx=-1):
         self.xyxy = np.asarray(xyxy, np.float64)
         self.score = float(score)
         self.cls = int(cls)
+        # index of the originating detection row in this frame's input
+        # (reference byte_tracker.py appends it as the dets' last column so
+        # masks/keypoints can be re-indexed to surviving tracks)
+        self.det_idx = int(det_idx)
         self.mean: Optional[np.ndarray] = None
         self.cov: Optional[np.ndarray] = None
         self.state = NEW
@@ -97,6 +101,7 @@ class STrack:
         self.score = det.score
         self.cls = det.cls
         self.xyxy = det.xyxy
+        self.det_idx = det.det_idx
 
     def re_activate(self, kf, det: "STrack", frame_id, new_id=False):
         self.update(kf, det, frame_id)
@@ -105,6 +110,8 @@ class STrack:
 
 
 class BYTETracker:
+    det_class = STrack  # BOTSORT overrides with BOTSTrack (xywh measurements)
+
     def __init__(self, track_high_thresh=0.5, track_low_thresh=0.1, new_track_thresh=0.6,
                  match_thresh=0.8, track_buffer=30, frame_rate=30):
         self.kf = KalmanFilterXYAH()
@@ -119,13 +126,19 @@ class BYTETracker:
 
     def update(self, dets: np.ndarray) -> np.ndarray:
         """dets: (N, 6) [x1, y1, x2, y2, conf, cls] for one frame.
-        Returns (M, 8) [x1, y1, x2, y2, track_id, conf, cls, idx]."""
+        Returns (M, 8) [x1, y1, x2, y2, track_id, conf, cls, det_idx] where
+        det_idx is the row of the input detection that produced/last-updated
+        each track (side-channel re-index contract, reference track.py)."""
         self.frame_id += 1
         dets = np.asarray(dets, np.float64).reshape(-1, 6)
-        hi = dets[dets[:, 4] >= self.high]
-        lo = dets[(dets[:, 4] >= self.low) & (dets[:, 4] < self.high)]
-        d_hi = [STrack(d[:4], d[4], d[5]) for d in hi]
-        d_lo = [STrack(d[:4], d[4], d[5]) for d in lo]
+        all_idx = np.arange(len(dets))
+        m_hi = dets[:, 4] >= self.high
+        m_lo = (dets[:, 4] >= self.low) & ~m_hi
+        hi, hi_idx = dets[m_hi], all_idx[m_hi]
+        lo, lo_idx = dets[m_lo], all_idx[m_lo]
+        mk = self.det_class
+        d_hi = [mk(d[:4], d[4], d[5], det_idx=j) for d, j in zip(hi, hi_idx)]
+        d_lo = [mk(d[:4], d[4], d[5], det_idx=j) for d, j in zip(lo, lo_idx)]
 
         pool = self.tracked + self.lost
         for t in pool:
@@ -175,8 +188,8 @@ class BYTETracker:
         self.tracked = list(all_tracks.values())
 
         out = [
-            np.r_[t.kf_xyxy(), t.track_id, t.score, t.cls, i]
-            for i, t in enumerate(self.tracked)
+            np.r_[t.kf_xyxy(), t.track_id, t.score, t.cls, t.det_idx]
+            for t in self.tracked
             if t.state == TRACKED and t.frame_id == self.frame_id
         ]
         return np.asarray(out).reshape(-1, 8)

@@ -57,6 +57,8 @@ def upsample_catalogue(c: int = 64) -> List[Tuple[str, object]]:
         ("DLU", U.DLU(c)),
         ("EUCB", U.EUCB(c)),
         ("MEUM", U.MEUM(c)),
+        ("CARAFEPack", U.CARAFEPack(c)),
+        ("ResBlock_CBAM", U.ResBlock_CBAM(c, c)),
     ]
 
 
@@ -85,6 +87,12 @@ def attention_catalogue(c: int = 64) -> List[Tuple[str, object]]:
         ("MHSA", A.MHSA(c, num_heads=4)),
         ("BoTAttention", A.BoTAttention(c, heads=4, dim_head=16)),
         ("EdgeAwareAttention", A.EdgeAwareAttention(c)),
+        ("ECALayer_ns", A.ECALayer_ns(c)),
+        ("AxialBlock_dynamic", A.AxialBlock_dynamic(c // 2, kernel_size=16)),
+        ("AxialBlock_wopos", A.AxialBlock_wopos(c // 2, kernel_size=16)),
+        ("ShiftWindowAttention", A.ShiftWindowAttention(c, heads=4, window_size=4, shift_size=2)),
+        ("FusedKQnA", A.FusedKQnA(n_q=1, n_channels=c, n_heads=4)),
+        ("DeBiAttention_YOLO", A.DeBiAttention_YOLO(c, c, num_heads=4)),
     ]
 
 

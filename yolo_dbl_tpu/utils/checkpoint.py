@@ -25,7 +25,7 @@ def _to_host(tree):
 
 
 def save_checkpoint(path, state, best_fitness: float = 0.0, train_args: Optional[Dict] = None,
-                    metrics: Optional[Dict] = None):
+                    metrics: Optional[Dict] = None, epoch: int = -1, best_epoch: int = -1):
     """Serialize full training state (resume-capable)."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
@@ -33,6 +33,8 @@ def save_checkpoint(path, state, best_fitness: float = 0.0, train_args: Optional
         "step": int(state.step),
         "ema_updates": float(state.ema_updates),
         "best_fitness": float(best_fitness),
+        "epoch": int(epoch),
+        "best_epoch": int(best_epoch),
         "params": serialization.to_bytes(_to_host(state.params)),
         "ema_params": serialization.to_bytes(_to_host(state.ema_params)),
         "batch_stats": serialization.to_bytes(_to_host(state.batch_stats)),
@@ -65,7 +67,9 @@ def load_checkpoint(path, state):
             lambda t, s: jnp.asarray(s) if hasattr(t, "dtype") else s, state.opt_state, opt_state
         ),
     )
-    meta = {"best_fitness": blob["best_fitness"], "train_args": blob["train_args"], "metrics": blob["metrics"]}
+    meta = {"best_fitness": blob["best_fitness"], "train_args": blob["train_args"],
+            "metrics": blob["metrics"], "epoch": blob.get("epoch", -1),
+            "best_epoch": blob.get("best_epoch", -1)}
     return new_state, meta
 
 

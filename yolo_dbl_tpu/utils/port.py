@@ -149,9 +149,14 @@ def port_state_dict(
         raise ValueError(
             f"{len(unmapped)} torch keys could not be ported: {unmapped[:20]}"
         )
-    out["_unmapped"] = unmapped  # caller may pop for diagnostics
-    if not unmapped:
-        out.pop("_unmapped")
+    if unmapped:
+        # diagnostics via logger — never mutate the variables tree, which is
+        # passed straight to model.apply (unknown collections would fail)
+        from . import LOGGER
+
+        LOGGER.warning(
+            "port_state_dict: %d torch keys not ported: %s%s",
+            len(unmapped), unmapped[:10], " …" if len(unmapped) > 10 else "")
     return out
 
 
