@@ -6,7 +6,11 @@ input and every output is fetched to host. The axon runtime dedupes repeated
 identical computations and its block_until_ready can return before remote
 completion — naive loops overstate throughput by 10-100×.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline"},
+the MEDIAN of 3 trials (run-to-run tunnel variance was ~7% in round 2 —
+VERDICT r2 weak #2). A second, honest uint8-in → boxes-out number (fused
+Pallas letterbox+normalize on device, kernels/preprocess.py) goes to stderr
+and PROFILE.md.
 Baseline: BASELINE.json north star = 5000 img/s/chip on v5e-8 (i.e. 625
 img/s/chip); the reference publishes no numbers (BASELINE.md), so
 vs_baseline is measured against the 625 img/s per-chip target.
@@ -15,10 +19,22 @@ vs_baseline is measured against the 625 img/s per-chip target.
 from __future__ import annotations
 
 import json
+import statistics
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+
+def _throughput(fn, variables, xs, batch):
+    """One timed trial over pre-staged distinct inputs, host-fetching a
+    scalar from every output to force real completion."""
+    t0 = time.perf_counter()
+    outs = [fn(variables, x) for x in xs]
+    for _, counts_i in outs:
+        _ = counts_i.sum().item()
+    return batch * len(xs) / (time.perf_counter() - t0)
 
 
 def main():
@@ -52,17 +68,37 @@ def main():
     jax.block_until_ready((dets, counts))
     assert bool(jnp.isfinite(dets).all()), "benchmark outputs must be finite"
 
-    t0 = time.perf_counter()
-    outs = [fn(variables, x) for x in xs]
-    # fetch a scalar from every output to force real completion: on remote
-    # runtimes block_until_ready can return on enqueue, and repeated
-    # identical inputs get deduped outright — both inflate throughput
-    for dets_i, counts_i in outs:
-        _ = counts_i.sum().item()
-    dt = time.perf_counter() - t0
+    trials = [_throughput(fn, variables, xs, batch) for _ in range(3)]
+    imgs_per_sec = statistics.median(trials)
+    del xs
 
-    imgs_per_sec = batch * n_iters / dt
+    # honest e2e: uint8 frames in (as a camera/decoder would hand them),
+    # fused Pallas letterbox+normalize on device, boxes out
+    try:
+        from yolo_dbl_tpu.kernels.preprocess import letterbox_normalize
+
+        def infer_u8(v, u8):
+            img = letterbox_normalize(u8, (imgsz, imgsz), scaleup=False)
+            return infer(v, img.astype(dtype))
+
+        fn8 = jax.jit(infer_u8)
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        xs8 = [jax.block_until_ready(jnp.asarray(
+            rng.integers(0, 255, (batch, 512, 768, 3), dtype=np.uint8)))
+            for _ in range(8)]
+        d8, c8 = fn8(variables, xs8[0])
+        jax.block_until_ready((d8, c8))
+        e2e_trials = [_throughput(fn8, variables, xs8, batch) for _ in range(3)]
+        print(f"# e2e uint8(512x768)->letterbox(Pallas)->boxes: "
+              f"{statistics.median(e2e_trials):.2f} img/s/chip "
+              f"(trials {['%.0f' % t for t in e2e_trials]})", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 — e2e extra must never break the metric
+        print(f"# e2e uint8 bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
+
     target_per_chip = 625.0  # BASELINE.json: 5000 img/s on v5e-8 → per chip
+    print(f"# bf16-in trials: {['%.0f' % t for t in trials]}", file=sys.stderr)
     print(
         json.dumps(
             {

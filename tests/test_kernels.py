@@ -23,3 +23,37 @@ def test_letterbox_geometry_properties():
     # 2:1 aspect: content occupies central 50 rows, padding above/below
     assert np.allclose(out[0, 0, :, :], 114 / 255, atol=1e-6)  # top pad
     assert np.allclose(out[0, 50, :, :], 1.0, atol=1e-6)  # content row
+
+
+@pytest.mark.parametrize("in_hw,out_hw", [((100, 160), (128, 128)), ((480, 640), (320, 320))])
+def test_letterbox_kernel_matches_host_letterbox(in_hw, out_hw):
+    """Device path parity with the host cv2 letterbox the predictor used to
+    run (data/augment.py:letterbox, scaleup=False): same geometry, bilinear
+    resize within u8-rounding tolerance (cv2 rounds to uint8, we stay float)."""
+    from yolo_dbl_tpu.data.augment import letterbox
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (*in_hw, 3), dtype=np.uint8)
+    host, gain, pad = letterbox(img, out_hw, scaleup=False)
+    dev = np.asarray(letterbox_normalize(
+        jnp.asarray(img[None]), out_hw, scaleup=False, interpret=True))[0]
+    assert host.shape[:2] == dev.shape[:2]
+    diff = np.abs(host.astype(np.float32) / 255.0 - dev)
+    # interior bilinear parity: ≤1 u8 step; allow a tiny outlier tail from
+    # cv2's fixed-point arithmetic
+    assert np.quantile(diff, 0.999) <= 1.5 / 255, float(diff.max())
+    # geometry identical: pad region exactly 114/255 in both
+    from yolo_dbl_tpu.kernels.preprocess import letterbox_geometry
+    r, nh, nw, top, left = letterbox_geometry(*in_hw, *out_hw, scaleup=False)
+    assert abs(r - gain) < 1e-9 and (left, top) == tuple(int(p) for p in pad)
+    if top > 0:
+        assert np.allclose(dev[:top], 114 / 255) and (host[:top] == 114).all()
+
+
+def test_letterbox_scaleup_flag():
+    img = np.full((1, 32, 32, 3), 200, np.uint8)
+    up = np.asarray(letterbox_normalize(jnp.asarray(img), (64, 64), scaleup=True, interpret=True))
+    noup = np.asarray(letterbox_normalize(jnp.asarray(img), (64, 64), scaleup=False, interpret=True))
+    assert np.allclose(up, 200 / 255, atol=1e-6)           # fills the canvas
+    assert np.allclose(noup[0, 0, 0], 114 / 255, atol=1e-6)  # padded border
+    assert np.allclose(noup[0, 32, 32], 200 / 255, atol=1e-6)  # centered content

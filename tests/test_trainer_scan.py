@@ -1,0 +1,80 @@
+"""Multi-step scan dispatch (engine/trainer.py make_train_scan): K steps in
+one dispatch must be BITWISE identical to K per-step dispatches — rng folds
+on state.step inside the step, so the streams line up by construction.
+(Round-3 perf fix: per-dispatch overhead was ~10x the step's compute on the
+remote runtime; see tools/exp_train_scan.py.)
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from yolo_dbl_tpu.engine.trainer import Trainer  # noqa: E402
+from yolo_dbl_tpu.nn.tasks import DetectionModel  # noqa: E402
+
+YAML = {"nc": 2, "backbone": [
+    [-1, 1, "Conv", [8, 3, 2]],
+    [-1, 1, "Conv", [16, 3, 2]],
+    [-1, 1, "Conv", [32, 3, 2]],
+], "head": [[[-1], 1, "Detect", ["nc"]]]}
+
+
+def _batches(k=3, b=2, imgsz=64, max_gt=4):
+    rng = np.random.default_rng(0)
+    out = []
+    for _ in range(k):
+        out.append({
+            "img": (rng.random((b, imgsz, imgsz, 3)) * 255).astype(np.uint8),
+            "gt_boxes": np.tile(np.array([[[0.5, 0.5, 0.4, 0.4]]], np.float32), (b, max_gt, 1)),
+            "gt_cls": np.zeros((b, max_gt), np.int32),
+            "gt_mask": np.pad(np.ones((b, 1), np.float32), ((0, 0), (0, max_gt - 1))),
+        })
+    return out
+
+
+def _leaves(tree):
+    return [np.asarray(x) for x in jax.tree_util.tree_leaves(tree)]
+
+
+def test_step_many_matches_per_step():
+    key = jax.random.PRNGKey(0)
+    batches = _batches()
+
+    m1 = DetectionModel(YAML, nc=2)
+    t1 = Trainer(m1, overrides={"imgsz": 64, "batch": 2}).setup(steps_per_epoch=10, imgsz=64)
+    for b in batches:
+        t1.step(b, key)
+
+    m2 = DetectionModel(YAML, nc=2)
+    t2 = Trainer(m2, overrides={"imgsz": 64, "batch": 2}).setup(steps_per_epoch=10, imgsz=64)
+    metrics = t2.step_many(batches, key)
+    assert np.asarray(metrics["loss"]).shape == (len(batches),)
+
+    assert int(t1.state.step) == int(t2.state.step) == len(batches)
+    # scan compiles a different XLA program than the standalone step, so
+    # float reassociation can shift last ulps — equality is up to tight tol
+    for a, b in zip(_leaves(t1.state.params), _leaves(t2.state.params)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-7)
+    for a, b in zip(_leaves(t1.state.ema_params), _leaves(t2.state.ema_params)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-7)
+
+
+def test_uint8_batch_matches_float_batch():
+    """format_batch now ships uint8; device_normalize must reproduce the old
+    host astype(f32)/255 exactly (u8/255 is exact in f32)."""
+    key = jax.random.PRNGKey(1)
+    batches = _batches(k=2)
+    fbatches = [dict(b, img=b["img"].astype(np.float32) / 255.0) for b in batches]
+
+    m1 = DetectionModel(YAML, nc=2)
+    t1 = Trainer(m1, overrides={"imgsz": 64, "batch": 2}).setup(steps_per_epoch=10, imgsz=64)
+    m2 = DetectionModel(YAML, nc=2)
+    t2 = Trainer(m2, overrides={"imgsz": 64, "batch": 2}).setup(steps_per_epoch=10, imgsz=64)
+    for b, fb in zip(batches, fbatches):
+        t1.step(b, key)
+        t2.step(fb, key)
+    # device u8/255 compiles to multiply-by-reciprocal; host numpy divides —
+    # identical to the last ulp is not guaranteed, tight tol is
+    for a, b in zip(_leaves(t1.state.params), _leaves(t2.state.params)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-7)

@@ -115,7 +115,7 @@ def main():
         def fwd_sum(params, x, stats):
             out, _ = model.module.apply(
                 {"params": params, "batch_stats": stats}, x, train=True,
-                mutable=["batch_stats"])
+                mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(0)})
             return _scalarize(out)
 
         stats = variables["batch_stats"]

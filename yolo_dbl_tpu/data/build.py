@@ -23,7 +23,13 @@ def format_batch(images, labels_list, imgsz: int, max_gt: int) -> Dict[str, np.n
     """Stack images and pad labels. Boxes become normalized xywh (the loss
     contract, see losses/detection.py)."""
     b = len(images)
-    img = np.stack(images).astype(np.float32) / 255.0  # NHWC [0,1]
+    # uint8 stays uint8: batches ship to the device at 1/4 the bytes and the
+    # train/val steps normalize on device (kernels/preprocess.device_normalize)
+    # — the fused-preprocess contract (SURVEY §7-d). Float inputs keep the
+    # legacy host /255.
+    img = np.stack(images)
+    if img.dtype != np.uint8:
+        img = img.astype(np.float32) / 255.0  # NHWC [0,1]
     gt_boxes = np.zeros((b, max_gt, 4), np.float32)
     gt_cls = np.zeros((b, max_gt), np.int32)
     gt_mask = np.zeros((b, max_gt), np.float32)

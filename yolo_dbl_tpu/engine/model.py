@@ -163,16 +163,35 @@ class YOLO:
 
                 ms_sizes = multi_scale_sizes(cfg.imgsz, max(self.model.strides))
                 ms_rng = np.random.default_rng(cfg.seed + epoch)
+            # chunk batches into one scan dispatch per scan_steps (the
+            # per-dispatch overhead fix, engine/trainer.py make_train_scan);
+            # multi_scale varies shapes per batch → per-step path
+            pending = []
+            chunk = 1 if cfg.multi_scale else trainer.scan_steps
+
+            def flush():
+                nonlocal count
+                if not pending:
+                    return
+                if len(pending) == chunk and chunk > 1:
+                    rows = [trainer.step_many(pending, rng)]
+                else:
+                    rows = [trainer.step(b, rng) for b in pending]
+                for ms in rows:
+                    for k, v in ms.items():
+                        running[k] = running.get(k, 0.0) + float(np.asarray(v).sum())
+                count += len(pending)
+                pending.clear()
+
             for batch in train_loader:
                 if cfg.multi_scale:
                     batch = dict(batch)
                     batch["img"] = resize_batch(batch["img"], sample_scale(ms_sizes, ms_rng))
-                metrics = trainer.step(
-                    {k: v for k, v in batch.items()
-                     if k not in ("labels", "indices")}, rng)  # keep task extras (gt_masks/gt_kpts)
-                count += 1
-                for k, v in metrics.items():
-                    running[k] = running.get(k, 0.0) + float(v)
+                pending.append({k: v for k, v in batch.items()
+                                if k not in ("labels", "indices")})  # keep task extras
+                if len(pending) >= chunk:
+                    flush()
+            flush()
             avg = {k: v / max(count, 1) for k, v in running.items()}
 
             ema_vars = {"params": trainer.state.ema_params, "batch_stats": trainer.state.batch_stats}

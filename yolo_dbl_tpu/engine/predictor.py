@@ -355,19 +355,38 @@ class BasePredictor:
     """Shared batching / letterbox / rescale plumbing for task predictors."""
 
     def __init__(self, model: DetectionModel, conf: float = 0.25, iou: float = 0.45,
-                 max_det: int = 300, imgsz: int = 640):
+                 max_det: int = 300, imgsz: int = 640, device_preprocess: bool = True):
         self.model = model
         self.conf = conf
         self.iou = iou
         self.max_det = max_det
         self.imgsz = imgsz
+        # fused device preprocessing (kernels/preprocess.py): uint8 frames
+        # ship to the device as-is (4x less transfer) and letterbox+normalize
+        # fuse into the inference program — replaces the reference's host
+        # LetterBox + /255 (engine/predictor.py:116, data/augment.py:1477)
+        self.device_preprocess = device_preprocess
+        # where computations actually land (the axon plugin ignores
+        # JAX_PLATFORMS, so honor jax_default_device — tests pin it to CPU)
+        self._on_tpu = next(iter(jnp.zeros(()).devices())).platform == "tpu"
         self._infer = jax.jit(self.infer)
+        self._infer_u8 = jax.jit(self._infer_from_u8)
 
     def infer(self, variables, img):  # pragma: no cover - overridden
         raise NotImplementedError
 
+    def _infer_from_u8(self, variables, images_u8):
+        from ..kernels.preprocess import letterbox_normalize, letterbox_normalize_xla
+
+        fn = letterbox_normalize if self._on_tpu else letterbox_normalize_xla
+        img = fn(images_u8, (self.imgsz, self.imgsz), scaleup=False)
+        return self.infer(variables, img)  # f32 like the host path; flax casts
+
     def __call__(self, variables, source, batch_size: int = 16) -> List[Results]:
         images, paths = _load_source(source)
+        if self.device_preprocess and all(
+                im.dtype == np.uint8 and im.ndim == 3 for im in images):
+            return self._call_device_preprocess(variables, images, paths, batch_size)
         results: List[Results] = []
         for start in range(0, len(images), batch_size):
             chunk = images[start : start + batch_size]
@@ -379,6 +398,27 @@ class BasePredictor:
                     self.build_result(out, i, im, lb[i][1], lb[i][2], paths[start + i])
                 )
         return results
+
+    def _call_device_preprocess(self, variables, images, paths, batch_size: int) -> List[Results]:
+        """uint8-in → boxes-out: bucket sources by (H, W) so each size is one
+        compilation, ship uint8, letterbox+normalize on device."""
+        from ..kernels.preprocess import letterbox_geometry
+
+        buckets: Dict[tuple, List[int]] = {}
+        for i, im in enumerate(images):
+            buckets.setdefault(im.shape[:2], []).append(i)
+        by_idx: Dict[int, Results] = {}
+        for hw, idxs in buckets.items():
+            r, _, _, top, left = letterbox_geometry(
+                hw[0], hw[1], self.imgsz, self.imgsz, scaleup=False)
+            for start in range(0, len(idxs), batch_size):
+                ids = idxs[start : start + batch_size]
+                u8 = jnp.asarray(np.stack([images[j] for j in ids]))
+                out = jax.device_get(self._infer_u8(variables, u8))
+                for bi, j in enumerate(ids):
+                    by_idx[j] = self.build_result(
+                        out, bi, images[j], r, (float(left), float(top)), paths[j])
+        return [by_idx[i] for i in range(len(images))]
 
     @staticmethod
     def _rescale_boxes(d, gain, pad, shape):

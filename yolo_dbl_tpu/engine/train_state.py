@@ -143,7 +143,10 @@ def create_train_state(variables, tx) -> TrainState:
         params=params,
         batch_stats=batch_stats,
         opt_state=tx.init(params),
-        ema_params=params,
+        # distinct buffers, not an alias of params: with buffer donation on,
+        # an aliased pytree makes the first dispatch donate the same buffer
+        # twice (PJRT INVALID_ARGUMENT)
+        ema_params=jax.tree_util.tree_map(jnp.copy, params),
         ema_updates=jnp.zeros((), jnp.float32),
     )
 

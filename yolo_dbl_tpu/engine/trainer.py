@@ -65,9 +65,11 @@ def make_train_step(model: DetectionModel, cfg, tx) -> Callable:
         rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
+            from ..kernels.preprocess import device_normalize
+
             outputs, mutated = model.module.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch["img"],
+                device_normalize(batch["img"]),  # uint8 batches /255 on device
                 train=True,
                 mutable=["batch_stats"],
                 rngs={"dropout": rng},
@@ -94,6 +96,27 @@ def make_train_step(model: DetectionModel, cfg, tx) -> Callable:
     return train_step
 
 
+def make_train_scan(step: Callable) -> Callable:
+    """K train steps in ONE dispatch: lax.scan over a stacked batch pytree.
+
+    Round-3 finding (tools/exp_train_scan.py): the fused step computes in
+    ~200 ms at b16@640 bf16, but dispatching it per batch costs ~2.1 s —
+    the TrainState pytree is ~1k buffer handles marshalled over the runtime
+    per call. Scanning K steps amortizes that to 1/K. rng is folded by
+    state.step inside the step, so every scan iteration keeps its own
+    deterministic stream (resume-exact, like the per-step path).
+    """
+
+    def train_scan(state: TrainState, stacked: Dict, rng):
+        def body(st, b):
+            st, metrics = step(st, b, rng)
+            return st, metrics
+
+        return jax.lax.scan(body, state, stacked)
+
+    return train_scan
+
+
 class Trainer:
     """Single-program trainer: model + cfg → state, jitted step, epoch loop.
 
@@ -103,13 +126,17 @@ class Trainer:
     patience-based early stopping.
     """
 
-    def __init__(self, model: DetectionModel, overrides: Optional[Dict] = None, mesh: Optional[Mesh] = None):
+    def __init__(self, model: DetectionModel, overrides: Optional[Dict] = None, mesh: Optional[Mesh] = None,
+                 scan_steps: int = 8):
         self.model = model
         self.cfg = get_cfg(overrides=overrides or {})
         self.mesh = mesh
         self.state: Optional[TrainState] = None
         self.tx = None
         self._step_fn = None
+        self._scan_fn = None
+        # batches per device dispatch (see make_train_scan); 1 disables
+        self.scan_steps = max(1, int(scan_steps))
 
     def setup(self, steps_per_epoch: int, rng=None, imgsz: Optional[int] = None):
         rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
@@ -131,14 +158,21 @@ class Trainer:
         plat_ver = getattr(jax.devices()[0].client, "platform_version", "")
         gate_axon = "axon" in plat_ver.lower() and not _os.environ.get("YOLO_DBL_FORCE_DONATE")
         donate = () if gate_axon else (0,)
+        scan = make_train_scan(step)
         if self.mesh is not None:
             data_sharding = NamedSharding(self.mesh, P("data"))
+            stacked_sharding = NamedSharding(self.mesh, P(None, "data"))
             repl = NamedSharding(self.mesh, P())
             # pytree-prefix: every batch leaf (incl. task extras like
             # gt_masks / gt_kpts) shards on the data axis
             self._step_fn = jax.jit(
                 step,
                 in_shardings=(None, data_sharding, repl),
+                donate_argnums=donate,
+            )
+            self._scan_fn = jax.jit(
+                scan,
+                in_shardings=(None, stacked_sharding, repl),
                 donate_argnums=donate,
             )
             from ..parallel.shardings import model_axis_size, model_parallel_shardings
@@ -154,6 +188,7 @@ class Trainer:
                 self.state = jax.device_put(self.state, repl)
         else:
             self._step_fn = jax.jit(step, donate_argnums=donate)
+            self._scan_fn = jax.jit(scan, donate_argnums=donate)
         return self
 
     def restore(self, path) -> Dict:
@@ -185,6 +220,19 @@ class Trainer:
         self.state, metrics = self._step_fn(self.state, self.shard_batch(batch), rng)
         return metrics
 
+    def step_many(self, batches, rng) -> Dict:
+        """Run len(batches) train steps in ONE device dispatch (scan).
+
+        ~10x faster than per-step dispatch on remote runtimes (see
+        make_train_scan). All batches must share shapes. Returns metrics
+        stacked along axis 0 (one row per step)."""
+        stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
+        if self.mesh is not None:
+            sh = NamedSharding(self.mesh, P(None, "data"))
+            stacked = {k: jax.device_put(jnp.asarray(v), sh) for k, v in stacked.items()}
+        self.state, metrics = self._scan_fn(self.state, stacked, rng)
+        return metrics
+
     def fit(self, train_iter: Iterable, epochs: Optional[int] = None, steps_per_epoch: Optional[int] = None,
             on_epoch_end: Optional[Callable] = None, log_every: int = 50):
         """Epoch loop over an iterator yielding batch dicts."""
@@ -193,19 +241,34 @@ class Trainer:
         history = []
         for epoch in range(epochs):
             t0 = time.time()
-            running = None
+            running: Dict[str, float] = {}
             count = 0
+            pending = []
+
+            def flush():
+                nonlocal count
+                if not pending:
+                    return
+                if len(pending) == self.scan_steps and self.scan_steps > 1:
+                    metric_rows = [self.step_many(pending, rng)]
+                else:
+                    # odd-sized tail: per-step path (a different scan length
+                    # would cost a full extra compilation)
+                    metric_rows = [self.step(b, rng) for b in pending]
+                for ms in metric_rows:
+                    for k, v in ms.items():
+                        running[k] = running.get(k, 0.0) + float(np.asarray(v).sum())
+                count += len(pending)
+                pending.clear()
+
             for i, batch in enumerate(train_iter):
                 if steps_per_epoch is not None and i >= steps_per_epoch:
                     break
-                metrics = self.step(batch, rng)
-                count += 1
-                if running is None:
-                    running = {k: float(v) for k, v in metrics.items()}
-                else:
-                    for k, v in metrics.items():
-                        running[k] += float(v)
-            avg = {k: v / max(count, 1) for k, v in (running or {}).items()}
+                pending.append(batch)
+                if len(pending) >= self.scan_steps:
+                    flush()
+            flush()
+            avg = {k: v / max(count, 1) for k, v in running.items()}
             avg.update(epoch=epoch, seconds=time.time() - t0)
             history.append(avg)
             if on_epoch_end is not None:

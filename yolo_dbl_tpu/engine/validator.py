@@ -33,6 +33,9 @@ class DetectionValidator:
         self.use_coco_stats = use_coco_stats
 
         def infer(variables, img):
+            from ..kernels.preprocess import device_normalize
+
+            img = device_normalize(img)  # uint8 val batches /255 on device
             pred = model.predict(variables, img)
             return non_max_suppression(
                 pred, conf_thres=self.conf, iou_thres=self.iou, max_det=self.max_det
@@ -107,6 +110,9 @@ class SegmentationValidator:
         self.conf, self.iou, self.max_det = conf, iou, max_det
 
         def infer(variables, img):
+            from ..kernels.preprocess import device_normalize
+
+            img = device_normalize(img)  # uint8 val batches /255 on device
             outputs = model.apply(variables, img)
             det_maps, coeffs, protos = outputs
             pred = model.decode_outputs(outputs, img_size=img.shape[1])
@@ -164,6 +170,9 @@ class PoseValidator:
         self.kpt_shape = kpt_shape
 
         def infer(variables, img):
+            from ..kernels.preprocess import device_normalize
+
+            img = device_normalize(img)  # uint8 val batches /255 on device
             outputs = model.apply(variables, img)
             det_maps, kpt_maps = outputs
             pred = model.decode_outputs(outputs, img_size=img.shape[1])
@@ -225,6 +234,9 @@ class OBBValidator:
         self.conf, self.iou, self.max_det = conf, iou, max_det
 
         def infer(variables, img):
+            from ..kernels.preprocess import device_normalize
+
+            img = device_normalize(img)  # uint8 val batches /255 on device
             pred = model.predict(variables, img)  # (B, 4+nc+1, A) rotated
             return non_max_suppression_rotated(
                 pred, conf_thres=conf, iou_thres=iou, max_det=max_det, nc=model.nc)

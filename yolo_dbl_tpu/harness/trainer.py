@@ -111,6 +111,10 @@ class Trainer:
         detector, tx = self.detector, self.tx
 
         def step(params, extra, opt_state, batch, rng):
+            from ..kernels.preprocess import device_normalize
+
+            batch = {**batch, "img": device_normalize(batch["img"])}
+
             def loss_fn(p):
                 variables = {"params": p, **extra}
                 out = detector.loss(variables, batch, rng=rng, train=True, mutable=["batch_stats"])
@@ -171,7 +175,10 @@ class Trainer:
         coco = COCOEvaluator(self.nc, min_score=self.cfg["min_score"])
         predict = jax.jit(lambda v, x: self.detector.predict(v, x))
         for batch in self.val_loader:
-            dets, num = jax.device_get(predict(self.variables, jnp.asarray(batch["img"])))
+            from ..kernels.preprocess import device_normalize
+
+            dets, num = jax.device_get(predict(
+                self.variables, device_normalize(jnp.asarray(batch["img"]))))
             for i in range(len(dets)):
                 k = int(num[i])
                 lab = batch["labels"][i] if "labels" in batch else None
@@ -202,7 +209,9 @@ def default_val(detector, variables, val_loader, nc: int, min_score=0.01) -> Dic
     coco = COCOEvaluator(nc, min_score=min_score)
     predict = jax.jit(lambda v, x: detector.predict(v, x))
     for batch in val_loader:
-        dets, num = jax.device_get(predict(variables, jnp.asarray(batch["img"])))
+        from ..kernels.preprocess import device_normalize
+
+        dets, num = jax.device_get(predict(variables, device_normalize(jnp.asarray(batch["img"]))))
         for i in range(len(dets)):
             k = int(num[i])
             lab = batch["labels"][i]

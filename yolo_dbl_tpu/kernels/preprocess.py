@@ -4,13 +4,18 @@ SURVEY.md §2.11 / §7-7 north-star item: the reference's cv2/albumentations
 per-sample CPU path (global_utils/transforms.py letterbox+normalize, YOLO
 LetterBox at data/augment.py:1477 + predictor /255 at engine/predictor.py:116)
 becomes ONE device pass: uint8 HWC frames stream HBM→VMEM once, are
-nearest-resized, padded with 114 and scaled to [0,1] float — no host float
-conversion (4x less PCIe/ICI traffic: bytes move as uint8) and no separate
-pad/convert/normalize HBM round-trips.
+BILINEAR-resized (cv2.INTER_LINEAR half-pixel convention), padded with 114
+and scaled to [0,1] float — no host float conversion (4x less PCIe/ICI
+traffic: bytes move as uint8) and no separate pad/convert/normalize HBM
+round-trips.
 
-Grid: one program per (image, output-row-tile). Each program gathers the
-source rows it needs with dynamic slices and emits a (TILE_H, W_out, 3)
-float tile.
+Geometry matches data/augment.py:letterbox exactly (gain, round(d-0.1) pad
+rounding, scaleup flag), so the predictor's gain/pad box-rescale stays valid.
+
+Grid: one program per (image, output-row-tile). The source image sits in
+VMEM; each program gathers its 4 bilinear corners from the uint8 source
+(converting only the gathered values) and emits a (TILE_H, W_out, 3) float
+tile.
 """
 
 from __future__ import annotations
@@ -20,51 +25,82 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
+
+# sources larger than this stay on the XLA fallback (whole image must fit
+# VMEM alongside the output tile; v5e VMEM is ~16 MB)
+_VMEM_SRC_LIMIT = 8 * 1024 * 1024
 
 
-def _letterbox_kernel(src_ref, out_ref, *, h_in, w_in, h_out, w_out, tile_h, pad_value):
-    """src_ref: (h_in, w_in, 3) uint8 VMEM; out_ref: (tile_h, w_out, 3) float32."""
+def letterbox_geometry(h_in: int, w_in: int, h_out: int, w_out: int, scaleup: bool = True):
+    """Static letterbox geometry, identical to data/augment.py:letterbox:
+    gain r (capped at 1 when scaleup=False), resized size, and the reference's
+    round(d - 0.1) top/left pad rounding."""
+    r = min(h_out / h_in, w_out / w_in)
+    if not scaleup:
+        r = min(r, 1.0)
+    new_h, new_w = round(h_in * r), round(w_in * r)
+    dh, dw = (h_out - new_h) / 2, (w_out - new_w) / 2
+    top, left = round(dh - 0.1), round(dw - 0.1)
+    return r, new_h, new_w, top, left
+
+
+def _letterbox_kernel(src_ref, out_ref, *, h_in, w_in, w_out, tile_h,
+                      new_h, new_w, top, left, pad_value):
+    """src_ref: (1, h_in, w_in, 3) uint8 VMEM; out_ref: (1, tile_h, w_out, 3) f32."""
     t = pl.program_id(1)
     row0 = t * tile_h
 
-    gain = min(h_out / h_in, w_out / w_in)
-    new_h = round(h_in * gain)
-    new_w = round(w_in * gain)
-    top = (h_out - new_h) // 2
-    left = (w_out - new_w) // 2
-
     rows = jax.lax.broadcasted_iota(jnp.int32, (tile_h, w_out), 0) + row0
     cols = jax.lax.broadcasted_iota(jnp.int32, (tile_h, w_out), 1)
-    # nearest source pixel, jax.image.resize convention: floor((i+0.5)·in/out)
-    sy = ((rows - top).astype(jnp.float32) + 0.5) * (h_in / new_h)
-    sx = ((cols - left).astype(jnp.float32) + 0.5) * (w_in / new_w)
-    syi = jnp.clip(jnp.floor(sy), 0, h_in - 1).astype(jnp.int32)
-    sxi = jnp.clip(jnp.floor(sx), 0, w_in - 1).astype(jnp.int32)
+    # bilinear source coords, cv2.INTER_LINEAR half-pixel convention
+    sy = (rows - top).astype(jnp.float32) * (h_in / new_h) + (0.5 * h_in / new_h - 0.5)
+    sx = (cols - left).astype(jnp.float32) * (w_in / new_w) + (0.5 * w_in / new_w - 0.5)
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    wy = (sy - y0)[..., None]
+    wx = (sx - x0)[..., None]
+    y0c = jnp.clip(y0, 0, h_in - 1).astype(jnp.int32)
+    y1c = jnp.clip(y0 + 1, 0, h_in - 1).astype(jnp.int32)
+    x0c = jnp.clip(x0, 0, w_in - 1).astype(jnp.int32)
+    x1c = jnp.clip(x0 + 1, 0, w_in - 1).astype(jnp.int32)
     inside = (rows >= top) & (rows < top + new_h) & (cols >= left) & (cols < left + new_w)
 
-    src = src_ref[:].astype(jnp.float32)
-    flat = src.reshape(h_in * w_in, 3)
-    idx = syi * w_in + sxi  # (tile_h, w_out)
-    gathered = jnp.take(flat, idx.reshape(-1), axis=0).reshape(tile_h, w_out, 3)
-    out = jnp.where(inside[..., None], gathered, jnp.float32(pad_value))
-    out_ref[:] = (out / 255.0).reshape(out_ref.shape)
+    flat = src_ref[0].reshape(h_in * w_in, 3)
+
+    def take(yi, xi):
+        # gather stays uint8; only the gathered values convert to f32
+        return jnp.take(flat, (yi * w_in + xi).reshape(-1), axis=0).reshape(
+            tile_h, w_out, 3).astype(jnp.float32)
+
+    val = (take(y0c, x0c) * (1 - wy) * (1 - wx)
+           + take(y0c, x1c) * (1 - wy) * wx
+           + take(y1c, x0c) * wy * (1 - wx)
+           + take(y1c, x1c) * wy * wx)
+    out = jnp.where(inside[..., None], val, jnp.float32(pad_value))
+    out_ref[0] = out / 255.0
 
 
-@functools.partial(jax.jit, static_argnames=("out_hw", "tile_h", "pad_value", "interpret"))
-def letterbox_normalize(images_u8, out_hw=(640, 640), tile_h=64, pad_value=114, interpret=False):
-    """Fused device preprocessing.
+@functools.partial(jax.jit, static_argnames=("out_hw", "tile_h", "pad_value",
+                                             "scaleup", "interpret"))
+def letterbox_normalize(images_u8, out_hw=(640, 640), tile_h=64, pad_value=114,
+                        scaleup=False, interpret=False):
+    """Fused device preprocessing (Pallas; XLA fallback for oversized sources).
 
     Args:
         images_u8: (B, H, W, 3) uint8 batch (one source size per call —
             bucket mixed sizes on the host).
         out_hw: letterboxed output size (stride-aligned).
+        scaleup: allow upscaling small sources (predictor uses False, like
+            the reference's LetterBox(scaleup=False) eval path).
 
     Returns:
         (B, h_out, w_out, 3) float32 in [0, 1], padded with 114/255.
     """
     b, h_in, w_in, _ = images_u8.shape
+    if h_in * w_in * 3 > _VMEM_SRC_LIMIT:
+        return letterbox_normalize_xla(images_u8, out_hw, pad_value, scaleup)
     h_out, w_out = out_hw
+    _, new_h, new_w, top, left = letterbox_geometry(h_in, w_in, h_out, w_out, scaleup)
     tile_h = min(tile_h, h_out)
     while h_out % tile_h:
         tile_h //= 2
@@ -72,28 +108,39 @@ def letterbox_normalize(images_u8, out_hw=(640, 640), tile_h=64, pad_value=114, 
 
     kernel = functools.partial(
         _letterbox_kernel,
-        h_in=h_in, w_in=w_in, h_out=h_out, w_out=w_out, tile_h=tile_h, pad_value=pad_value,
+        h_in=h_in, w_in=w_in, w_out=w_out, tile_h=tile_h,
+        new_h=new_h, new_w=new_w, top=top, left=left, pad_value=pad_value,
     )
     return pl.pallas_call(
         kernel,
         grid=(b, n_tiles),
-        in_specs=[
-            pl.BlockSpec((1, h_in, w_in, 3), lambda i, t: (i, 0, 0, 0), memory_space=pl.ANY)
-        ],
-        out_specs=pl.BlockSpec((1, tile_h, w_out, 3), lambda i, t: (i, t, 0, 0), memory_space=pl.ANY),
+        in_specs=[pl.BlockSpec((1, h_in, w_in, 3), lambda i, t: (i, 0, 0, 0))],
+        out_specs=pl.BlockSpec((1, tile_h, w_out, 3), lambda i, t: (i, t, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h_out, w_out, 3), jnp.float32),
         interpret=interpret,
     )(images_u8)
 
 
-def letterbox_normalize_xla(images_u8, out_hw=(640, 640), pad_value=114):
-    """XLA reference implementation (also the CPU fallback)."""
+def device_normalize(img, dtype=jnp.float32):
+    """uint8 NHWC → [0,1] float on device (the /255 the reference does on
+    host at engine/predictor.py:116 / trainer preprocess_batch); float input
+    passes through (already normalized by the legacy host path)."""
+    if img.dtype == jnp.uint8:
+        return img.astype(dtype) / 255.0
+    return img.astype(dtype) if img.dtype != dtype else img
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw", "pad_value", "scaleup"))
+def letterbox_normalize_xla(images_u8, out_hw=(640, 640), pad_value=114, scaleup=False):
+    """XLA twin of the kernel (CPU fallback / oversized sources): bilinear
+    resize (jax.image half-pixel = cv2.INTER_LINEAR) + 114 pad + /255."""
     b, h_in, w_in, _ = images_u8.shape
     h_out, w_out = out_hw
-    gain = min(h_out / h_in, w_out / w_in)
-    new_h, new_w = round(h_in * gain), round(w_in * gain)
-    top, left = (h_out - new_h) // 2, (w_out - new_w) // 2
-    resized = jax.image.resize(images_u8.astype(jnp.float32), (b, new_h, new_w, 3), "nearest")
+    _, new_h, new_w, top, left = letterbox_geometry(h_in, w_in, h_out, w_out, scaleup)
+    # antialias=False: plain bilinear like cv2.INTER_LINEAR (and the kernel);
+    # jax's default antialiased downscale would diverge from the reference
+    resized = jax.image.resize(images_u8.astype(jnp.float32), (b, new_h, new_w, 3),
+                               "linear", antialias=False)
     canvas = jnp.full((b, h_out, w_out, 3), float(pad_value), jnp.float32)
     canvas = jax.lax.dynamic_update_slice(canvas, resized, (0, top, left, 0))
     return canvas / 255.0
