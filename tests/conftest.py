@@ -42,12 +42,29 @@ def pytest_addoption(parser):
         "--runslow", action="store_true", default=False,
         help="also run tests marked slow (live-torch parity, zoo rebuilds)",
     )
+    parser.addoption(
+        "--runheavy", action="store_true", default=False,
+        help="also run tests marked compileheavy (full-zoo traces, export "
+             "round-trips, e2e train steps — the nightly lane; see TESTS_r3.txt)",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: live-torch parity / long e2e (--runslow)")
+    config.addinivalue_line(
+        "markers",
+        "compileheavy: full-model trace/compile heavy; default lane skips "
+        "(--runheavy; nightly = pytest --runslow --runheavy)",
+    )
 
 
 def pytest_collection_modifyitems(config, items):
-    if config.getoption("--runslow"):
-        return
-    skip_slow = pytest.mark.skip(reason="slow: use --runslow (fast lane keeps default runs < 5 min)")
+    skip_slow = pytest.mark.skip(reason="slow: use --runslow")
+    skip_heavy = pytest.mark.skip(
+        reason="compileheavy: use --runheavy (default lane stays fast; "
+               "nightly lane runs --runslow --runheavy)")
     for item in items:
-        if "slow" in item.keywords:
+        if "slow" in item.keywords and not config.getoption("--runslow"):
             item.add_marker(skip_slow)
+        if "compileheavy" in item.keywords and not config.getoption("--runheavy"):
+            item.add_marker(skip_heavy)

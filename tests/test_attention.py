@@ -89,6 +89,7 @@ def test_spatial_attention_shapes(module):
     assert np.isfinite(out).all()
 
 
+@pytest.mark.compileheavy
 def test_edge_aware_v2_properties():
     """V2: kernel bank inits to the named operators; gains only amplify."""
     x = jax.random.normal(jax.random.PRNGKey(0), X_SHAPE)
@@ -145,6 +146,7 @@ def test_sla_core_full_topk_is_dense_softmax():
     np.testing.assert_allclose(np.asarray(o_l), 0.0, atol=1e-6)
 
 
+@pytest.mark.compileheavy
 def test_aifi_asff_psa_cpca_shapes():
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, C))
     for m in [A.AIFI(C, num_heads=4, cm=64), A.CPCA(C)]:

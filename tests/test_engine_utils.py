@@ -93,6 +93,7 @@ def test_plotting(tmp_path):
     assert (tmp_path / "curves.png").exists()
 
 
+@pytest.mark.compileheavy
 def test_exporter_stablehlo_roundtrip(tmp_path):
     from yolo_dbl_tpu.engine.exporter import Exporter, load_stablehlo
     from yolo_dbl_tpu.nn.tasks import DetectionModel
@@ -108,6 +109,7 @@ def test_exporter_stablehlo_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
 
 
+@pytest.mark.compileheavy
 def test_exporter_deploy_roundtrip(tmp_path):
     from yolo_dbl_tpu.engine.exporter import Exporter
     from yolo_dbl_tpu.engine.model import YOLO

@@ -75,3 +75,45 @@ def test_tflite_autobackend_loadback(small_model, tmp_path):
     assert backend.format == "tflite"
     assert got.shape == want.shape
     assert np.allclose(got, want, rtol=1e-2, atol=1e-2)
+
+
+def _run_tflite(path, x):
+    interp = tf.lite.Interpreter(model_path=str(path))
+    interp.allocate_tensors()
+    interp.set_tensor(interp.get_input_details()[0]["index"], x)
+    interp.invoke()
+    return [interp.get_tensor(d["index"]) for d in interp.get_output_details()]
+
+
+@pytest.mark.slow
+def test_tflite_int8_roundtrip(small_model, tmp_path):
+    """Quantized TFLite export (VERDICT r2 #9; reference int8 tflite mode:
+    exporter.py:118 flag, representative_dataset exporter.py:1173).
+
+    Weights-only (dynamic-range) quantization must shrink the artifact AND
+    keep near-float parity. Full int8 PTQ must shrink, load and produce
+    finite outputs — its accuracy is calibration-bound (random-weight model
+    + random frames is a degenerate calibration set, so no tight parity
+    claim there; real deployments pass real frames)."""
+    m, v = small_model
+    exporter = Exporter(m, v, imgsz=IMGSZ, batch=1)
+    rng = np.random.RandomState(3)
+    fp = exporter.export_tflite(str(tmp_path / "model_fp.tflite"))
+    x = rng.rand(1, IMGSZ, IMGSZ, 3).astype(np.float32)
+    want = np.asarray(m.predict(v, jnp.asarray(x)))
+
+    # --- dynamic-range (weights int8, activations float) ---
+    dq = exporter.export_tflite(str(tmp_path / "model_dq.tflite"), weights_only=True)
+    assert dq.stat().st_size < 0.55 * fp.stat().st_size, (
+        dq.stat().st_size, fp.stat().st_size)
+    got = next(o for o in _run_tflite(dq, x) if o.shape == want.shape)
+    rel = np.abs(got - want) / np.maximum(np.abs(want), 1.0)
+    assert np.quantile(rel, 0.99) < 0.1, float(np.quantile(rel, 0.99))
+
+    # --- full PTQ with representative dataset ---
+    calib = [rng.rand(1, IMGSZ, IMGSZ, 3).astype(np.float32) for _ in range(4)]
+    q = exporter.export_tflite(str(tmp_path / "model_int8.tflite"), int8=True,
+                               representative_data=calib)
+    assert q.stat().st_size < 0.7 * fp.stat().st_size
+    got_q = next(o for o in _run_tflite(q, x) if o.shape == want.shape)
+    assert np.isfinite(got_q).all()

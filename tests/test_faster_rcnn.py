@@ -46,6 +46,7 @@ def test_roi_sampling_fixed_shape():
     assert int((labels == 2).sum()) >= 1
 
 
+@pytest.mark.compileheavy
 def test_faster_rcnn_loss_smoke():
     det = F.FasterRCNN(num_classes=3, image_size=128)
     rng = jax.random.PRNGKey(0)

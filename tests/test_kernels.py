@@ -57,3 +57,71 @@ def test_letterbox_scaleup_flag():
     assert np.allclose(up, 200 / 255, atol=1e-6)           # fills the canvas
     assert np.allclose(noup[0, 0, 0], 114 / 255, atol=1e-6)  # padded border
     assert np.allclose(noup[0, 32, 32], 200 / 255, atol=1e-6)  # centered content
+
+
+# ---------------------------------------------------------------- sampling
+
+def _rand_coords(rng, b, n, h, w):
+    """Coords spanning in-bounds, border and out-of-bounds regions."""
+    gy = rng.uniform(-1.5, h + 0.5, (b, n)).astype(np.float32)
+    gx = rng.uniform(-1.5, w + 0.5, (b, n)).astype(np.float32)
+    return gy, gx
+
+
+@pytest.mark.parametrize("padding_mode", ["border", "zeros"])
+def test_sampling_kernel_matches_gather(padding_mode):
+    """Pallas separable sampler == gather path == one-hot path."""
+    from yolo_dbl_tpu.kernels.sampling import sample_bilinear_separable
+    from yolo_dbl_tpu.ops.resample import sample_bilinear_pixel, _sample_bilinear_onehot
+
+    rng = np.random.default_rng(0)
+    b, h, w, c = 3, 12, 9, 5
+    n = 50
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+    gy, gx = _rand_coords(rng, b, n, h, w)
+    ref = np.asarray(sample_bilinear_pixel(x, jnp.asarray(gy), jnp.asarray(gx),
+                                           padding_mode, prefer_onehot=False))
+    oh = np.asarray(_sample_bilinear_onehot(x, jnp.asarray(gy), jnp.asarray(gx), padding_mode))
+    out = np.asarray(sample_bilinear_separable(x, jnp.asarray(gy), jnp.asarray(gx),
+                                               padding_mode, True))
+    np.testing.assert_allclose(oh, ref, atol=1e-5)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_sampling_kernel_padded_tile():
+    """N not a multiple of the tile: padded rows must not leak."""
+    from yolo_dbl_tpu.kernels.sampling import sample_bilinear_separable, _TILE_N
+    from yolo_dbl_tpu.ops.resample import sample_bilinear_pixel
+
+    rng = np.random.default_rng(1)
+    b, h, w, c = 2, 8, 8, 4
+    n = _TILE_N + 7  # forces one full + one ragged tile
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+    gy, gx = _rand_coords(rng, b, n, h, w)
+    ref = np.asarray(sample_bilinear_pixel(x, jnp.asarray(gy), jnp.asarray(gx),
+                                           "border", prefer_onehot=False))
+    out = np.asarray(sample_bilinear_separable(x, jnp.asarray(gy), jnp.asarray(gx),
+                                               "border", True))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_sampling_kernel_grad_matches_onehot():
+    """custom_vjp backward == autodiff through the one-hot formulation."""
+    from yolo_dbl_tpu.kernels.sampling import sample_bilinear_separable
+    from yolo_dbl_tpu.ops.resample import _sample_bilinear_onehot
+
+    rng = np.random.default_rng(2)
+    b, h, w, c, n = 2, 6, 6, 3, 20
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+    gy, gx = map(jnp.asarray, _rand_coords(rng, b, n, h, w))
+
+    def loss_pallas(x, gy, gx):
+        return (sample_bilinear_separable(x, gy, gx, "border", True) ** 2).sum()
+
+    def loss_ref(x, gy, gx):
+        return (_sample_bilinear_onehot(x, gy, gx, "border") ** 2).sum()
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(x, gy, gx)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, gy, gx)
+    for a, b_ in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)

@@ -92,6 +92,7 @@ def test_df_loss_minimized_at_target():
     assert float(_df_loss(logits, frac, reg_max).mean()) < float(_df_loss(near, frac, reg_max).mean())
 
 
+@pytest.mark.compileheavy
 def test_detection_loss_runs_and_descends():
     """Gradient descent on raw maps directly should reduce the loss."""
     rng = jax.random.PRNGKey(0)

@@ -40,6 +40,7 @@ def test_scale_char_resolution():
     assert spec.layers[0].c2 == 8  # 32 * 0.25
 
 
+@pytest.mark.compileheavy
 def test_param_parity_with_reference_counts():
     """Golden param counts captured from the torch reference (see refstub);
     ours = reference − 16 (frozen DFL projection folded analytically)."""
@@ -89,6 +90,7 @@ def test_forward_shapes_tiny():
     assert bool(jnp.isfinite(pred).all())
 
 
+@pytest.mark.compileheavy
 def test_yolov6_forward_and_relu_override():
     """v6: ConvTranspose2d head executes; `activation: nn.ReLU()` reaches
     every Conv in the trace (first conv output is non-negative)."""
@@ -105,6 +107,7 @@ def test_yolov6_forward_and_relu_override():
     assert float(np.min(f0["m0/bn"])) < 0.0  # pre-activation goes negative
 
 
+@pytest.mark.compileheavy
 def test_yolov7_builds_and_decodes():
     """v7 (MP/SPPCSPC/IDetect) builds; trunk params match the official count
     (37620125 + 2557 unfused implicit ia/im params); anchor decode is sane."""
@@ -121,6 +124,7 @@ def test_yolov7_builds_and_decodes():
     assert float(pred[:, 4:].min()) >= 0.0 and float(pred[:, 4:].max()) <= 1.0
 
 
+@pytest.mark.compileheavy
 def test_rtdetr_yamls_param_parity_and_forward():
     """RT-DETR configs: golden counts captured from the live torch reference
     (exact — no DFL fold in DETR heads); rtdetr-l runs forward + postprocess."""
@@ -141,6 +145,7 @@ def test_rtdetr_yamls_param_parity_and_forward():
     assert bool(jnp.isfinite(dets).all())
 
 
+@pytest.mark.compileheavy
 def test_conv_transpose2d_shapes():
     """Torch nn.ConvTranspose2d formula: out = (in-1)*s - 2p + k."""
     from yolo_dbl_tpu.nn.common import ConvTranspose2d
@@ -153,6 +158,7 @@ def test_conv_transpose2d_shapes():
         assert y.shape == (1, want(5), want(7), 8), (k, s, p, y.shape)
 
 
+@pytest.mark.compileheavy
 def test_batchnorm_updates_in_train_mode():
     m = DetectionModel("yolov13n_DBL.yaml", nc=3)
     v = m.init(jax.random.PRNGKey(0), imgsz=64)
@@ -164,6 +170,7 @@ def test_batchnorm_updates_in_train_mode():
     assert changed
 
 
+@pytest.mark.compileheavy
 def test_variant_zoo_param_parity():
     """Golden counts from the live torch reference across all variant yamls
     (ours = ref − 16, analytic DFL fold). FFCA-YOLO-L is runnable here only
@@ -195,6 +202,7 @@ def test_variant_zoo_param_parity():
     assert count_params(DetectionModel("FFCA-YOLO-L.yaml", nc=80)) == 5258778
 
 
+@pytest.mark.compileheavy
 def test_v9e_and_v3tiny_forward():
     """CBLinear/CBFuse dual-branch (v9e) and maxpool/zeropad layers (v3-tiny)
     execute with correct stride sets."""

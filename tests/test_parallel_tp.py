@@ -60,6 +60,44 @@ def test_tp_predict_matches_replicated():
     assert np.allclose(got, want, rtol=1e-4, atol=1e-4), np.abs(got - want).max()
 
 
+def test_alternating_rule_assigns_both_dims():
+    """VERDICT r2 #10: the TP rule is Megatron-style alternating — eligible
+    conv kernels split between column-parallel (O) and row-parallel (I)."""
+    from yolo_dbl_tpu.nn.tasks import DetectionModel
+
+    mesh = make_mesh(n_data=4, n_model=2, devices=cpu_devices(8))
+    m = DetectionModel("yolov13s_DBL.yaml", nc=3)
+    v = jax.eval_shape(lambda: m.init(jax.random.PRNGKey(0), imgsz=64))
+    sh = model_parallel_shardings(v, mesh)
+    specs = [s.spec for s in jax.tree_util.tree_leaves(sh)]
+    n_out = sum(1 for s in specs if s == P(None, None, None, "model"))
+    n_in = sum(1 for s in specs if s == P(None, None, "model", None))
+    assert n_out > 10 and n_in > 10, (n_out, n_in)
+    # uniform-O mode still available for comparison
+    sh_u = model_parallel_shardings(v, mesh, alternate=False)
+    specs_u = [s.spec for s in jax.tree_util.tree_leaves(sh_u)]
+    assert not any(s == P(None, None, "model", None) for s in specs_u)
+
+
+@pytest.mark.slow
+def test_tp_predict_matches_replicated_flagship_128():
+    """Alternating TP on the DBL flagship at 128px == replicated forward
+    (VERDICT r2 #10 'done' criterion)."""
+    from yolo_dbl_tpu.nn.tasks import DetectionModel
+
+    mesh = make_mesh(n_data=2, n_model=4, devices=cpu_devices(8))
+    m = DetectionModel("yolov13s_DBL.yaml", nc=3)
+    v = m.init(jax.random.PRNGKey(0), imgsz=128)
+    x = jnp.asarray(np.random.RandomState(2).rand(2, 128, 128, 3).astype(np.float32))
+
+    want = np.asarray(m.predict(v, x))
+    v_tp = shard_variables(v, mesh)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    got = np.asarray(jax.jit(lambda vv, im: m.predict(vv, im))(v_tp, xs))
+    assert got.shape == want.shape
+    assert np.allclose(got, want, rtol=1e-3, atol=1e-3), np.abs(got - want).max()
+
+
 @pytest.mark.slow
 def test_spatial_sharding_compiles_and_matches():
     """SP: rows sharded over 'model' — XLA inserts conv halo exchanges."""

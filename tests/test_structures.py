@@ -134,6 +134,7 @@ def test_mobile_batch2():
     assert m.apply(v, xs).shape == (1, 8, 8, 64)
 
 
+@pytest.mark.compileheavy
 def test_mobilenetv3_parity_and_forward():
     """MobileNetV3 large/small: exact param parity with the torch reference
     (verified live: 5483032 / 2542856) and a forward pass."""

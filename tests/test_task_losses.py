@@ -82,6 +82,7 @@ def _pose_batch(b=2, m=4, imgsz=64, k=17):
     return {"img": img, "gt_boxes": boxes, "gt_cls": cls, "gt_mask": mask, "gt_kpts": kpts}
 
 
+@pytest.mark.compileheavy
 def test_pose_loss_runs_and_grads():
     m = DetectionModel("yolov8-pose.yaml", nc=1)
     v = m.init(jax.random.PRNGKey(0), imgsz=64)
@@ -111,6 +112,7 @@ def _obb_batch(b=2, m=4, imgsz=64):
     return {"img": img, "gt_boxes": boxes, "gt_cls": cls, "gt_mask": mask}
 
 
+@pytest.mark.compileheavy
 def test_obb_loss_runs_and_grads():
     m = DetectionModel("yolov8-obb.yaml", nc=1)
     v = m.init(jax.random.PRNGKey(0), imgsz=64)
@@ -143,6 +145,7 @@ def test_obb_tiny_boxes_filtered():
     assert float(items.box) == 0.0  # no assignable GTs -> no box loss
 
 
+@pytest.mark.compileheavy
 def test_trainer_dispatches_pose_loss():
     """make_train_step routes Pose models through pose_loss (kpt metric key)."""
     from yolo_dbl_tpu.engine.train_state import build_optimizer, create_train_state
@@ -260,6 +263,7 @@ def test_rtdetr_loss_grads_flow():
         assert float(jnp.abs(g).sum()) > 0
 
 
+@pytest.mark.compileheavy
 def test_world_model_parity_and_predict():
     """YOLO-World: golden counts from the live torch WorldModel (−16 DFL);
     predict responds to text — nc follows the installed embeddings."""
@@ -320,6 +324,7 @@ def test_nas_postprocess():
     ("pose", "yolov8n-pose.yaml", "gt_kpts"),
     ("obb", "yolov8n-obb.yaml", None),
 ])
+@pytest.mark.compileheavy
 def test_task_dataloader_and_train_step(tmp_path, task, model_yaml, extra_key):
     """Task datasets load real labels; one jitted train step runs through the
     task-dispatched loss with the loader's padded batch."""
@@ -358,6 +363,7 @@ def test_task_dataloader_and_train_step(tmp_path, task, model_yaml, extra_key):
     assert int(state2.step) == 1
 
 
+@pytest.mark.compileheavy
 def test_sam_architecture():
     """SAM: ViT-B total matches the torch reference exactly (93,735,472,
     verified live incl. prompt/mask branches); prompt flows produce masks at
@@ -435,6 +441,7 @@ def test_triton_client_against_mock_server():
         srv.shutdown()
 
 
+@pytest.mark.compileheavy
 def test_auto_annotate(tmp_path):
     """Detector + SAM auto-annotation writes YOLO-segment label files."""
     import cv2
@@ -489,6 +496,7 @@ def test_task_validators(tmp_path, task, model_yaml, key):
     assert out["images"] == 2
 
 
+@pytest.mark.compileheavy
 def test_sam2_architecture_and_memory():
     """SAM2: component param counts match the live torch reference exactly
     (Hiera-T 26,849,472 / FPN 369,664 / MemoryAttention 5,922,304 /
@@ -533,6 +541,7 @@ def test_sam2_architecture_and_memory():
     assert cond.shape == src.shape and bool(jnp.isfinite(cond).all())
 
 
+@pytest.mark.compileheavy
 def test_mobile_sam_tinyvit():
     """MobileSAM TinyViT: exact param parity with the live torch reference
     (6,065,532 incl. classifier head) and a forward pass to the SAM neck."""

@@ -37,6 +37,7 @@ def _leaves(tree):
     return [np.asarray(x) for x in jax.tree_util.tree_leaves(tree)]
 
 
+@pytest.mark.compileheavy
 def test_step_many_matches_per_step():
     key = jax.random.PRNGKey(0)
     batches = _batches()

@@ -132,6 +132,7 @@ def test_sapa_uniform_attention_averages():
     np.testing.assert_allclose(out[:, 6:10, 6:10], 2.0, atol=1e-4)
 
 
+@pytest.mark.compileheavy
 def test_batch3_modules():
     from yolo_dbl_tpu.nn.upsample import C3k2_EAMC, CARAFEplusplus, LDA_AQU, M2C2f
 
@@ -207,6 +208,7 @@ def test_anyup_and_jafar_shapes():
     assert np.isfinite(row0[0, 0]) and not np.isfinite(row0[7, 7])
 
 
+@pytest.mark.compileheavy
 def test_loftup_and_dlupack():
     """LoftUp: image-res output; DLUPack: x2 CARAFE with deformable kernels
     (zero-init offsets -> output within the input value range)."""
@@ -228,6 +230,7 @@ def test_loftup_and_dlupack():
     assert float(yd.min()) >= float(lr.min()) - 1e-5
 
 
+@pytest.mark.compileheavy
 def test_fga_sfau_eqsr():
     """FGA (×2/×4), SFAU (guided fusion), EQSR (HAT SR) forward shapes."""
     from yolo_dbl_tpu.nn.upsample import EQSR, FGA, SFAU

@@ -134,6 +134,7 @@ def test_ssd_full_model_smoke():
     assert bbox_reg.shape == (1, 8732, 4)
 
 
+@pytest.mark.compileheavy
 def test_rtdetr_decoder_smoke():
     from yolo_dbl_tpu.models.rtdetr import RTDETRDecoder, rtdetr_postprocess
 

@@ -1037,8 +1037,10 @@ class DySample(nn.Module):
         xg = x.reshape(b, h, w, g, c // g)
         xg = jnp.transpose(xg, (0, 3, 1, 2, 4)).reshape(b * g, h, w, c // g)
         # train: gather path (the one-hot matmul's backward residuals
-        # dominate HBM); eval: one-hot MXU fast path
-        out = grid_sample_bilinear(xg, coords, prefer_onehot=not train)  # (B*g, sH, sW, c/g)
+        # dominate HBM); eval: backend auto (one-hot MXU fast path on TPU)
+        out = grid_sample_bilinear(
+            xg, coords, prefer_onehot=False if train else None
+        )  # (B*g, sH, sW, c/g)
         out = out.reshape(b, g, s * h, s * w, c // g)
         out = jnp.transpose(out, (0, 2, 3, 1, 4)).reshape(b, s * h, s * w, c)
         return out

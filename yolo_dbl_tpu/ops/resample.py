@@ -8,6 +8,8 @@ no host round-trips, fixed shapes.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -101,7 +103,7 @@ def bilinear_upsample(x, scale: int = 2, align_corners: bool = True):
 
 
 def grid_sample_bilinear(x, coords, padding_mode: str = "border", align_corners: bool = False,
-                         prefer_onehot: bool = True):
+                         prefer_onehot=None):
     """Bilinear grid sample, align_corners=False, 'border' or 'zeros' padding.
 
     Matches torch.nn.functional.grid_sample(x, grid, mode='bilinear',
@@ -111,8 +113,8 @@ def grid_sample_bilinear(x, coords, padding_mode: str = "border", align_corners:
     Args:
         x: (B, H, W, C) source features.
         coords: (B, Ho, Wo, 2) normalized sample grid in [-1, 1], xy order.
-        prefer_onehot: allow the one-hot-matmul fast path (pass False under
-            training — see sample_bilinear_pixel).
+        prefer_onehot: allow the one-hot-matmul fast path (False under
+            training; None = auto by backend — see sample_bilinear_pixel).
 
     Returns:
         (B, Ho, Wo, C) sampled features.
@@ -206,15 +208,37 @@ def _sample_bilinear_onehot(x, gy, gx, padding_mode):
 
 
 def sample_bilinear_pixel(x, gy, gx, padding_mode: str = "border",
-                          prefer_onehot: bool = True):
+                          prefer_onehot=None):
     """Bilinear sample NHWC `x` at pixel coordinates gy/gx (B, ...).
 
     prefer_onehot=False forces the gather path — the right choice inside a
     training step: the one-hot interpolation matrix is a 6x inference win on
     the MXU but its backward residuals dominate HBM (pass not-train from the
-    caller, e.g. DySample)."""
+    caller, e.g. DySample). None = auto: the one-hot path is a TPU-specific
+    trick (dense matmuls ride the MXU, gathers are slow generic scatters);
+    on CPU/GPU backends the gather path wins by ~40x, so auto picks by
+    jax.default_backend()."""
     b, h, w, c = x.shape
+    # the pinned default device (tests/conftest.py) wins over backend
+    # priority: computations actually run there
+    dev = jax.config.jax_default_device
+    plat = dev.platform if dev is not None else jax.default_backend()
+    if prefer_onehot is None:
+        prefer_onehot = plat == "tpu"
     if prefer_onehot and h * w <= _ONEHOT_MAX_SRC:
+        if plat == "tpu" and os.environ.get("YOLO_DBL_PALLAS_SAMPLE"):
+            # opt-in Pallas path (kernels/sampling.py): measured SLOWER than
+            # the XLA one-hot at the b128 flagship (670 vs 940 img/s,
+            # 2026-08-17 A/B on v5e) — XLA already fuses the A-build into
+            # the dot, and the kernel's K=40 spreader matmuls pad to K=128
+            # on the MXU. Kept for re-testing on future toolchains.
+            from ..kernels.sampling import sample_bilinear_separable, supported
+
+            gyf = gy.reshape(b, -1)
+            gxf = gx.reshape(b, -1)
+            if supported(x, gyf, gxf):
+                out = sample_bilinear_separable(x, gyf, gxf, padding_mode)
+                return out.reshape(b, *gy.shape[1:], c)
         return _sample_bilinear_onehot(x, gy, gx, padding_mode)
     x0 = jnp.floor(gx)
     y0 = jnp.floor(gy)

@@ -5,11 +5,18 @@ axes in. GSPMD does the heavy lifting: we ANNOTATE where parameters and
 activations live, XLA inserts the all-gathers / reduce-scatters / halo
 exchanges. Two modes ride the 'model' axis:
 
-- **TP (channel sharding)**: large conv kernels shard their output-channel
-  (HWIO minor) dim; matching BN/bias vectors shard too; paired Dense kernels
-  shard (in, out) alternately would need op knowledge, so we keep the simple
-  uniform rule — out-dim sharded, XLA re-gathers activations where needed.
-  Small params replicate (collective cost would exceed the memory win).
+- **TP (channel sharding)**: large conv kernels shard alternately on their
+  output-channel (HWIO minor) and input-channel dims, Megatron
+  column→row-parallel style: an O-sharded conv leaves its activation
+  channel-sharded, the next I-sharded conv contracts that sharded dim and
+  GSPMD closes the pair with ONE psum — instead of an all-gather after
+  every layer (uniform-O rule, kept as alternate=False). Param creation
+  order within a block (cv1 → cv2 → ...) is dataflow order, so
+  natural-sorted path order approximates the chain; where a concat or
+  replicated producer breaks the pattern, GSPMD inserts the resharding and
+  numerics stay exact (test_parallel_tp.py asserts parity on the DBL
+  flagship). Small params replicate (collective cost would exceed the
+  memory win).
 - **SP (spatial sharding)**: NHWC activations shard H over 'model'
   (`spatial_sharding`); XLA inserts halo exchanges for the convs. This is
   the image-domain analogue of sequence parallelism (SURVEY §5 note) and is
@@ -31,14 +38,25 @@ def model_axis_size(mesh: Mesh) -> int:
     return mesh.shape.get("model", 1)
 
 
-def _leaf_spec(path: str, leaf, n_model: int, min_size: int) -> P:
+def _natural_key(path: str):
+    """Sort key treating digit runs numerically (layers_2 < layers_10)."""
+    import re
+
+    return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", path)]
+
+
+def _leaf_spec(path: str, leaf, n_model: int, min_size: int,
+               shard_in: bool = False) -> P:
     if leaf.ndim == 0 or leaf.size < min_size:
         return P()
-    out_dim = leaf.shape[-1]
-    if out_dim % n_model != 0:
+    if leaf.ndim == 4:  # conv kernel HWIO
+        if shard_in and leaf.shape[2] % n_model == 0:
+            return P(None, None, "model", None)  # row-parallel: contract + psum
+        if leaf.shape[-1] % n_model == 0:
+            return P(None, None, None, "model")  # column-parallel
         return P()
-    if leaf.ndim == 4:  # conv kernel HWIO → shard O
-        return P(None, None, None, "model")
+    if leaf.shape[-1] % n_model != 0:
+        return P()
     if leaf.ndim == 2:  # dense (in, out) → shard out
         return P(None, "model")
     if leaf.ndim == 1:  # bias / BN vectors follow their conv's O sharding
@@ -47,24 +65,43 @@ def _leaf_spec(path: str, leaf, n_model: int, min_size: int) -> P:
 
 
 def model_parallel_shardings(
-    variables: Dict[str, Any], mesh: Mesh, min_size: int = 1 << 14
+    variables: Dict[str, Any], mesh: Mesh, min_size: int = 1 << 14,
+    alternate: bool = True
 ) -> Dict[str, Any]:
     """Per-leaf NamedSharding pytree for TP over the 'model' axis.
 
-    Parameters smaller than `min_size` elements replicate — sharding them
-    costs more in collectives than it saves in HBM. With n_model == 1 this
-    degrades to full replication (the DP-only case).
+    Eligible conv kernels alternate column-parallel (O) / row-parallel (I)
+    in natural path order — consecutive heavy convs then cost one psum per
+    pair instead of an all-gather per layer. alternate=False keeps the
+    round-2 uniform-O rule. Parameters smaller than `min_size` elements
+    replicate — sharding them costs more in collectives than it saves in
+    HBM. With n_model == 1 this degrades to full replication (DP-only).
     """
     n_model = model_axis_size(mesh)
 
-    def spec(path, leaf):
+    flat, treedef = jax.tree_util.tree_flatten_with_path(variables)
+    # assign the alternation counter over eligible conv kernels in natural
+    # (dataflow-approximating) path order
+    order = sorted(range(len(flat)), key=lambda i: _natural_key(jax.tree_util.keystr(flat[i][0])))
+    shard_in_flags = [False] * len(flat)
+    if alternate and n_model > 1:
+        parity = 0
+        for i in order:
+            leaf = flat[i][1]
+            if (leaf.ndim == 4 and leaf.size >= min_size
+                    and leaf.shape[-1] % n_model == 0):
+                if parity % 2 == 1 and leaf.shape[2] % n_model == 0:
+                    shard_in_flags[i] = True
+                parity += 1
+
+    def spec(i, path, leaf):
         if n_model == 1:
             return NamedSharding(mesh, P())
-        return NamedSharding(mesh, _leaf_spec(path, leaf, n_model, min_size))
+        return NamedSharding(mesh, _leaf_spec(path, leaf, n_model, min_size,
+                                              shard_in=shard_in_flags[i]))
 
-    flat = jax.tree_util.tree_flatten_with_path(variables)
-    mapped = [spec(jax.tree_util.keystr(p), l) for p, l in flat[0]]
-    return jax.tree_util.tree_unflatten(flat[1], mapped)
+    mapped = [spec(i, jax.tree_util.keystr(p), l) for i, (p, l) in enumerate(flat)]
+    return jax.tree_util.tree_unflatten(treedef, mapped)
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:
