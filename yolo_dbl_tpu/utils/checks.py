@@ -40,10 +40,17 @@ def check_imgsz(imgsz: Union[int, Sequence[int]], stride: int = 32,
     return fix(imgsz)
 
 
-def check_amp(model, variables, imgsz: int = 64, tol: float = 0.5) -> bool:
-    """bf16-safety probe (reference check_amp runs fp16-vs-fp32 inference and
-    compares): forward a dummy batch both ways, return True when the bf16
-    path stays within `tol` relative deviation of fp32."""
+def check_amp(model, variables, imgsz: int = 64, box_tol: float = 0.02,
+              score_tol: float = 0.05) -> bool:
+    """bf16-safety probe (reference check_amp, checks.py:649, runs the same
+    image through fp16 and fp32 inference and compares detections for real —
+    'close_fp16' boxes + scores). TPU analogue on the decoded (4+nc, A) maps:
+
+    - class-score channels are sigmoid-bounded [0,1] → absolute tolerance
+      `score_tol` (reference uses 0.1 on conf);
+    - box channels are pixel units → tolerance `box_tol` relative to imgsz.
+
+    Returns True when bf16 inference is detection-equivalent to fp32."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -51,10 +58,12 @@ def check_amp(model, variables, imgsz: int = 64, tol: float = 0.5) -> bool:
     x = jax.random.uniform(jax.random.PRNGKey(0), (1, imgsz, imgsz, 3), jnp.float32)
     full = np.asarray(model.predict(variables, x))
     half = np.asarray(model.predict(variables, x.astype(jnp.bfloat16)).astype(jnp.float32))
-    denom = np.abs(full).max() + 1e-6
-    dev = float(np.abs(full - half).max() / denom)
-    ok = dev < tol
+    box_dev = float(np.abs(full[:, :4] - half[:, :4]).max() / imgsz)
+    score_dev = float(np.abs(full[:, 4:] - half[:, 4:]).max())
+    ok = box_dev < box_tol and score_dev < score_tol
     if not ok:
-        LOGGER.warning("bf16 forward deviates %.3f from fp32 (tol %.3f) — "
-                       "falling back to fp32 is recommended", dev, tol)
+        LOGGER.warning(
+            "bf16 forward deviates from fp32 (box %.4f of imgsz, tol %.3f; "
+            "score %.4f, tol %.3f) — falling back to fp32 is recommended",
+            box_dev, box_tol, score_dev, score_tol)
     return ok
