@@ -29,6 +29,13 @@ try:
 except RuntimeError:
     pass
 
+# Persistent XLA compilation cache: this box has ONE cpu core, so the fast
+# lane is compile-dominated (~15 min cold). With the cache warm, repeated
+# runs skip recompiles entirely. Repo-local dir, .gitignore'd.
+jax.config.update("jax_compilation_cache_dir",
+                  str(Path(__file__).resolve().parent.parent / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def cpu_devices(n=8):
     return jax.devices("cpu")[:n]

@@ -58,3 +58,63 @@ def test_fused_stem_gate_in_model(monkeypatch):
     monkeypatch.setenv("YOLO_DBL_FUSED_STEM", "1")
     fused = m.predict(v, x)
     assert float(jnp.abs(std - fused).max()) < 1e-3
+
+
+def test_fused_stem_train_exact_stats():
+    """Train-mode fused stem (fused_stem_convs + Conv.norm_act phase
+    grouping): outputs AND BatchNorm running-stat updates match the plain
+    Conv+Conv pair bit-for-bit up to fp reassociation."""
+    from yolo_dbl_tpu.nn.common import Conv
+    from yolo_dbl_tpu.ops.fused_stem import fused_stem_convs
+    import flax.linen as nn
+
+    class Pair(nn.Module):
+        fused: bool = False
+
+        @nn.compact
+        def __call__(self, x, train=True):
+            l0 = Conv(16, 3, 1, name="l0")
+            l1 = Conv(32, 3, 2, name="l1")
+            if not self.fused:
+                return l1(l0(x, train), train)
+            return fused_stem_convs(
+                x,
+                l0.variables["params"]["conv"]["kernel"],
+                l1.variables["params"]["conv"]["kernel"],
+                lambda y: l0.norm_act(y, train=True, phase_groups=4),
+                lambda y: l1.norm_act(y, train=True),
+            )
+
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 16, 20, 3).astype(np.float32))
+    v = Pair().init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 20, 3)), train=False)
+    want, mut_w = Pair().apply(v, x, train=True, mutable=["batch_stats"])
+    # the fused module must see the SAME params: init shares structure
+    got, mut_g = Pair(fused=True).apply(v, x, train=True, mutable=["batch_stats"])
+    assert float(jnp.abs(got - want).max()) < 1e-4
+    for layer in ("l0", "l1"):
+        for stat in ("mean", "var"):
+            a = mut_w["batch_stats"][layer]["bn"][stat]
+            b = mut_g["batch_stats"][layer]["bn"][stat]
+            assert float(jnp.abs(a - b).max()) < 1e-5, (layer, stat)
+
+
+def test_fused_stem_train_gate_in_model(monkeypatch):
+    """YOLO_DBL_FUSED_STEM_TRAIN routes the train forward through the fused
+    path with matching outputs and stat updates."""
+    from yolo_dbl_tpu.nn.tasks import DetectionModel
+
+    m = DetectionModel("yolov13n_DBL.yaml", nc=3)
+    v = m.init(jax.random.PRNGKey(0), imgsz=64)
+    x = jnp.asarray(np.random.RandomState(1).rand(1, 64, 64, 3).astype(np.float32))
+    monkeypatch.delenv("YOLO_DBL_FUSED_STEM_TRAIN", raising=False)
+    std, mut_s = m.module.apply(v, x, train=True, mutable=["batch_stats"],
+                                rngs={"dropout": jax.random.PRNGKey(0)})
+    monkeypatch.setenv("YOLO_DBL_FUSED_STEM_TRAIN", "1")
+    fused, mut_f = m.module.apply(v, x, train=True, mutable=["batch_stats"],
+                                  rngs={"dropout": jax.random.PRNGKey(0)})
+    std = std if not isinstance(std, (list, tuple)) else std[0]
+    fused = fused if not isinstance(fused, (list, tuple)) else fused[0]
+    assert float(jnp.abs(jnp.asarray(std) - jnp.asarray(fused)).max()) < 1e-3
+    s0 = mut_s["batch_stats"]["m0"]["bn"]["mean"]
+    f0 = mut_f["batch_stats"]["m0"]["bn"]["mean"]
+    assert float(jnp.abs(s0 - f0).max()) < 1e-5

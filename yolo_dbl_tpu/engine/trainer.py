@@ -108,6 +108,15 @@ def make_train_scan(step: Callable) -> Callable:
     """
 
     def train_scan(state: TrainState, stacked: Dict, rng):
+        from ..kernels.preprocess import device_normalize
+
+        # normalize the whole (K, B, H, W, 3) block in ONE op before the
+        # scan: uint8 arrays carried through lax.scan are pathologically slow
+        # on the axon runtime (9.9 s/step vs 122 ms with float inputs,
+        # tools/exp_train_scan.py 2026-08-17 — per-iteration u8 slicing);
+        # device_normalize inside the step then passes floats through.
+        stacked = {**stacked, "img": device_normalize(stacked["img"])}
+
         def body(st, b):
             st, metrics = step(st, b, rng)
             return st, metrics
@@ -244,22 +253,32 @@ class Trainer:
             running: Dict[str, float] = {}
             count = 0
             pending = []
+            inflight = []  # (metric pytree, n_steps) not yet host-fetched
+
+            def drain(keep: int = 0):
+                # fetch completed dispatches' metrics; keeping one in flight
+                # overlaps host staging of the next super-batch with device
+                # compute (jax dispatch is async; float() is the sync point)
+                nonlocal count
+                while len(inflight) > keep:
+                    ms, n = inflight.pop(0)
+                    for k, v in ms.items():
+                        running[k] = running.get(k, 0.0) + float(np.asarray(v).sum())
+                    count += n
 
             def flush():
-                nonlocal count
                 if not pending:
                     return
-                if len(pending) == self.scan_steps and self.scan_steps > 1:
-                    metric_rows = [self.step_many(pending, rng)]
+                n = len(pending)
+                if n == self.scan_steps and self.scan_steps > 1:
+                    inflight.append((self.step_many(pending, rng), n))
                 else:
                     # odd-sized tail: per-step path (a different scan length
                     # would cost a full extra compilation)
-                    metric_rows = [self.step(b, rng) for b in pending]
-                for ms in metric_rows:
-                    for k, v in ms.items():
-                        running[k] = running.get(k, 0.0) + float(np.asarray(v).sum())
-                count += len(pending)
+                    for b in pending:
+                        inflight.append((self.step(b, rng), 1))
                 pending.clear()
+                drain(keep=1)
 
             for i, batch in enumerate(train_iter):
                 if steps_per_epoch is not None and i >= steps_per_epoch:
@@ -268,6 +287,7 @@ class Trainer:
                 if len(pending) >= self.scan_steps:
                     flush()
             flush()
+            drain(keep=0)
             avg = {k: v / max(count, 1) for k, v in running.items()}
             avg.update(epoch=epoch, seconds=time.time() - t0)
             history.append(avg)

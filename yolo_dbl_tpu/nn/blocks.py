@@ -1036,10 +1036,19 @@ class DySample(nn.Module):
 
         xg = x.reshape(b, h, w, g, c // g)
         xg = jnp.transpose(xg, (0, 3, 1, 2, 4)).reshape(b * g, h, w, c // g)
-        # train: gather path (the one-hot matmul's backward residuals
-        # dominate HBM); eval: backend auto (one-hot MXU fast path on TPU)
+        # Sampling path under train: one-hot matmul, same as eval. Safe since
+        # the one-hot chunk body is jax.checkpoint'ed (ops/resample.py) — its
+        # interpolation matrix is REBUILT in the backward, not retained (the
+        # round-2 OOM was the un-checkpointed form), and its backward is
+        # itself matmuls on the MXU: measured 3x faster than the gather
+        # path's scatter-add backward (19.7 -> 6.2 ms for 40->80 at b16,
+        # tools/exp_train_breakdown.py). YOLO_DBL_TRAIN_GATHER=1 forces the
+        # gather path back for A/B. Eval: backend auto (one-hot on TPU only).
+        import os as _os
+
+        train_pref = False if _os.environ.get("YOLO_DBL_TRAIN_GATHER") else None
         out = grid_sample_bilinear(
-            xg, coords, prefer_onehot=False if train else None
+            xg, coords, prefer_onehot=train_pref if train else None
         )  # (B*g, sH, sW, c/g)
         out = out.reshape(b, g, s * h, s * w, c // g)
         out = jnp.transpose(out, (0, 2, 3, 1, 4)).reshape(b, s * h, s * w, c)

@@ -108,32 +108,47 @@ class Conv(nn.Module):
     act: Union[bool, Callable] = True
     dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        k = _pair(self.k)
-        p = autopad(self.k, self.p, self.d)
-        x = nn.Conv(
+    def setup(self):
+        # setup-style (not @nn.compact) so the fused-stem path can invoke
+        # norm_act() on the bound module — variable tree is unchanged
+        # (attribute names 'conv'/'bn' are the scope names)
+        self.conv = nn.Conv(
             features=self.c2,
-            kernel_size=k,
+            kernel_size=_pair(self.k),
             strides=_pair(self.s),
-            padding=_pad_spec(p),
+            padding=_pad_spec(autopad(self.k, self.p, self.d)),
             feature_group_count=self.g,
             kernel_dilation=_pair(self.d),
             use_bias=False,
             dtype=self.dtype,
-            name="conv",
-        )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
+        )
+        self.bn = nn.BatchNorm(
             momentum=BN_MOMENTUM,
             epsilon=BN_EPS,
             dtype=self.dtype,
-            name="bn",
-        )(x)
+        )
+
+    def __call__(self, x, train: bool = False):
+        return self.norm_act(self.conv(x), train)
+
+    def norm_act(self, x, train: bool = False, phase_groups: int = 1):
+        """BatchNorm + activation only — the tail of __call__.
+
+        phase_groups > 1: `x`'s channel dim is `phase_groups` space-to-depth
+        phases of the same c2 channels (phase-major, ops/fused_stem.py); BN
+        statistics must aggregate over the phases to match the un-fused conv,
+        so the phases are folded into a spatial dim around the BN call.
+        """
+        if phase_groups > 1:
+            b, h, w, pc = x.shape
+            x = x.reshape(b, h, w * phase_groups, pc // phase_groups)
+        x = self.bn(x, use_running_average=not train)
         if self.act is True:
             x = default_act()(x)
         elif callable(self.act):
             x = self.act(x)
+        if phase_groups > 1:
+            x = x.reshape(b, h, w, pc)
         return x
 
 

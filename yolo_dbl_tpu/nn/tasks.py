@@ -626,13 +626,21 @@ class YOLOModel(nn.Module):
         the space-to-depth rewrite (ops/fused_stem.py) replaces verbatim."""
         import os
 
-        # Opt-in: the rewrite wins in isolation (14 -> 4 ms for the pair,
-        # tools/exp_slope.py) but measured ~6% SLOWER e2e at b64 (625 vs 663
-        # img/s) — XLA's whole-graph scheduling already overlaps the stem's
-        # HBM traffic with downstream compute, and the s2d one-hot conv adds
-        # un-overlapped work. Kept for larger-batch / multi-chip configs
-        # where the stem is a bigger fraction.
-        if train or self.is_initializing() or not os.environ.get("YOLO_DBL_FUSED_STEM"):
+        # Inference: opt-in only — the rewrite wins in isolation (14 -> 4 ms
+        # for the pair, tools/exp_slope.py) but measured ~6% SLOWER e2e at
+        # b64 (625 vs 663 img/s): XLA's whole-graph scheduling already
+        # overlaps the stem's HBM traffic with downstream compute, and the
+        # s2d one-hot conv adds un-overlapped work.
+        # Training: opt-in via YOLO_DBL_FUSED_STEM_TRAIN — the pair's
+        # BACKWARD is where the C=3/16 layout hurts most (25.6 -> 14.6 ms at
+        # b16@640, tools/exp_stem_grad.py); the train path keeps exact BN
+        # semantics via Conv.norm_act phase grouping.
+        if self.is_initializing():
+            return False
+        if train:
+            if not os.environ.get("YOLO_DBL_FUSED_STEM_TRAIN"):
+                return False
+        elif not os.environ.get("YOLO_DBL_FUSED_STEM"):
             return False
         ls = self.spec.layers
         if len(ls) < 2 or x.ndim != 4 or x.shape[1] % 2 or x.shape[2] % 2:
@@ -655,20 +663,31 @@ class YOLOModel(nn.Module):
             txt = text = jnp.zeros((x.shape[0], self.spec.nc, 512), x.dtype)
         skip_layers = ()
         if self._stem_fusable(x, train):
-            from ..ops.fused_stem import fused_stem
+            from ..ops.fused_stem import fused_stem, fused_stem_convs
 
-            def bn_tuple(v):
-                return (v["params"]["bn"]["scale"], v["params"]["bn"]["bias"],
-                        v["batch_stats"]["bn"]["mean"], v["batch_stats"]["bn"]["var"])
+            m0, m1 = self._mods["layer0"], self._mods["layer1"]
+            v0, v1 = m0.variables, m1.variables
+            if train:
+                # real BN (batch stats + running-average updates) through the
+                # layers' norm_act; phase_groups folds the 4 s2d phases
+                out = fused_stem_convs(
+                    x.astype(self.dtype),
+                    v0["params"]["conv"]["kernel"],
+                    v1["params"]["conv"]["kernel"],
+                    lambda y: m0.norm_act(y, train=True, phase_groups=4),
+                    lambda y: m1.norm_act(y, train=True),
+                )
+            else:
+                def bn_tuple(v):
+                    return (v["params"]["bn"]["scale"], v["params"]["bn"]["bias"],
+                            v["batch_stats"]["bn"]["mean"], v["batch_stats"]["bn"]["var"])
 
-            v0 = self._mods["layer0"].variables
-            v1 = self._mods["layer1"].variables
-            out = fused_stem(
-                x.astype(self.dtype),
-                v0["params"]["conv"]["kernel"], bn_tuple(v0),
-                v1["params"]["conv"]["kernel"], bn_tuple(v1),
-                default_act(),
-            )
+                out = fused_stem(
+                    x.astype(self.dtype),
+                    v0["params"]["conv"]["kernel"], bn_tuple(v0),
+                    v1["params"]["conv"]["kernel"], bn_tuple(v1),
+                    default_act(),
+                )
             y.append(None)  # layer 0 output never materialized
             y.append(out if 1 in self.spec.save else None)
             skip_layers = (0, 1)

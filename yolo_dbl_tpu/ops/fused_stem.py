@@ -22,7 +22,8 @@ All tensors live at H/2 x W/2 with 12/4*c0 channels — full lanes, and the
 840 MB @640 intermediate never exists. Measured: the pair drops ~14 ms ->
 ~4 ms at batch 64 bf16.
 
-Inference-path only (the standard per-layer path handles train-mode BN).
+fused_stem folds running-average BN (inference); fused_stem_convs delegates
+BN+act to the layer modules with phase-grouped statistics (training).
 """
 
 from __future__ import annotations
@@ -84,6 +85,30 @@ def _bn_act(y, bn, act, tile=1):
     inv = (scale * jax.lax.rsqrt(var + 1e-3)).astype(y.dtype)
     off = (bias - mean * scale * jax.lax.rsqrt(var + 1e-3)).astype(y.dtype)
     return act(y * inv + off)
+
+
+def fused_stem_convs(x, w0, w1, norm_act0, norm_act1):
+    """Train-capable fused stem: same s2d convs, but BN+act are delegated to
+    the layers' real norm_act methods (nn/common.py Conv.norm_act) so
+    train-mode batch statistics are computed and the running averages update
+    exactly as the un-fused path — norm_act folds the 4 s2d phases into a
+    spatial dim around its BatchNorm, so the stats aggregate per ORIGINAL
+    channel. Backward of the pair measured 25.6 -> 14.6 ms at b16@640 bf16
+    (tools/exp_stem_grad.py): the C=3/16 wgrad/dgrad convs are ~10x off the
+    HBM roofline for the same layout reason as the forward.
+    """
+    dt = x.dtype
+    s2d = _s2d(x)
+    K0 = scatter_s1_kernel(w0.astype(dt))
+    y0 = jax.lax.conv_general_dilated(
+        s2d, K0, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y0 = norm_act0(y0)
+    K1 = scatter_s2_kernel(w1.astype(dt))
+    y1 = jax.lax.conv_general_dilated(
+        y0, K1, (1, 1), ((1, 0), (1, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return norm_act1(y1)
 
 
 def fused_stem(x, w0, bn0, w1, bn1, act):
