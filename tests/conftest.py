@@ -4,14 +4,17 @@ This is how multi-chip sharding is tested without a real TPU slice
 (SURVEY.md §4): XLA's host platform is split into 8 virtual devices, so
 pjit/shard_map programs compile and execute with real collectives.
 
-Note: in this image the 'axon' TPU plugin ignores JAX_PLATFORMS, so we
-additionally pin jax_default_device to CPU — otherwise every test would
-contend for the single real TPU chip.
+Note: in this image the 'axon' TPU plugin ignores JAX_PLATFORMS (its
+sitecustomize registers it in every interpreter), so pinning the platform
+is not enough: when the TPU tunnel is down, the plugin's client init
+retries forever and the whole test session hangs at the first
+jax.devices() call. The test lane never wants the real chip anyway, so we
+deregister the plugin factory outright before any backend init.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -22,6 +25,19 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
+
+try:  # drop the axon TPU plugin before first backend init (see docstring)
+    from jax._src import xla_bridge as _xb
+    _xb._backend_factories.pop("axon", None)
+except Exception:
+    pass
+
+# sitecustomize imports jax before this file runs, so the env var above is
+# too late for jax.config's captured default — update it directly.
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
 
 try:
     _cpus = jax.devices("cpu")

@@ -106,7 +106,7 @@ def test_fused_stem_train_gate_in_model(monkeypatch):
     m = DetectionModel("yolov13n_DBL.yaml", nc=3)
     v = m.init(jax.random.PRNGKey(0), imgsz=64)
     x = jnp.asarray(np.random.RandomState(1).rand(1, 64, 64, 3).astype(np.float32))
-    monkeypatch.delenv("YOLO_DBL_FUSED_STEM_TRAIN", raising=False)
+    monkeypatch.setenv("YOLO_DBL_FUSED_STEM_TRAIN", "0")  # default is platform-gated
     std, mut_s = m.module.apply(v, x, train=True, mutable=["batch_stats"],
                                 rngs={"dropout": jax.random.PRNGKey(0)})
     monkeypatch.setenv("YOLO_DBL_FUSED_STEM_TRAIN", "1")

@@ -631,14 +631,22 @@ class YOLOModel(nn.Module):
         # b64 (625 vs 663 img/s): XLA's whole-graph scheduling already
         # overlaps the stem's HBM traffic with downstream compute, and the
         # s2d one-hot conv adds un-overlapped work.
-        # Training: opt-in via YOLO_DBL_FUSED_STEM_TRAIN — the pair's
-        # BACKWARD is where the C=3/16 layout hurts most (25.6 -> 14.6 ms at
-        # b16@640, tools/exp_stem_grad.py); the train path keeps exact BN
-        # semantics via Conv.norm_act phase grouping.
+        # Training: default ON on TPU, opt-out YOLO_DBL_FUSED_STEM_TRAIN=0 —
+        # the pair's BACKWARD is where the C=3/16 layout hurts most (25.6 ->
+        # 14.6 ms in isolation, tools/exp_stem_grad.py; e2e scan step 122.1
+        # -> 102.9 ms/step = 131 -> 155 img/s at b16@640 on the real chip,
+        # tools/exp_train_scan.py 2026-08-17); the train path keeps exact BN
+        # semantics via Conv.norm_act phase grouping (tests/test_fused_stem).
+        # Off-TPU default OFF: the s2d scatter kernels lose on CPU for the
+        # same reason the one-hot sampler does (no MXU to feed).
         if self.is_initializing():
             return False
         if train:
-            if not os.environ.get("YOLO_DBL_FUSED_STEM_TRAIN"):
+            flag = os.environ.get("YOLO_DBL_FUSED_STEM_TRAIN")
+            if flag is not None:
+                if flag in ("", "0", "false"):
+                    return False
+            elif jax.default_backend() not in ("tpu", "axon"):
                 return False
         elif not os.environ.get("YOLO_DBL_FUSED_STEM"):
             return False
