@@ -33,6 +33,11 @@ def _lsa_host(cost: np.ndarray, counts: np.ndarray) -> np.ndarray:
     query index per (padded) GT; padded columns get 0 (masked downstream)."""
     from scipy.optimize import linear_sum_assignment
 
+    # pure_callback may hand jax Arrays (not ndarrays): materialize to host
+    # FIRST — jax indexing inside a callback thread re-enters the dispatch
+    # lock the blocked main thread holds and deadlocks the whole process.
+    cost = np.asarray(cost)
+    counts = np.asarray(counts)
     n, q, m = cost.shape
     out = np.zeros((n, m), np.int32)
     for i in range(n):
