@@ -71,6 +71,23 @@ def test_dataloader_batches(shapes_root):
     assert batch["gt_boxes"][m].min() >= 0 and batch["gt_boxes"][m].max() <= 1.0
 
 
+def test_dataloader_worker_pool(shapes_root):
+    """workers>1 fans decode+augment over a thread pool: same batch contract,
+    and deterministic for a fixed (seed, epoch) — two pooled runs agree."""
+    ds = YOLODataset(shapes_root, split="train", imgsz=160)
+
+    def run():
+        dl = DataLoader(ds, batch_size=4, imgsz=160, augment=True, max_gt=16,
+                        prefetch=0, seed=7, workers=4)
+        return next(iter(dl))
+
+    a, b = run(), run()
+    assert a["img"].shape == (4, 160, 160, 3) and a["img"].dtype == np.uint8
+    np.testing.assert_array_equal(a["img"], b["img"])
+    np.testing.assert_array_equal(a["gt_boxes"], b["gt_boxes"])
+    np.testing.assert_array_equal(a["indices"], b["indices"])
+
+
 def test_val_loader_keeps_metadata(shapes_root):
     ds = YOLODataset(shapes_root, split="val", imgsz=160)
     dl = DataLoader(ds, batch_size=4, imgsz=160, augment=False, drop_last=False, prefetch=0)

@@ -97,12 +97,18 @@ class DataLoader:
     The reference uses torch DataLoader worker processes
     (data/build.py:135); here decode+augment runs on host threads while the
     TPU executes the previous step — the same overlap, no process pool.
+    With ``workers > 1`` the per-sample decode+augment additionally fans out
+    over a thread pool (cv2's decode/resize/warp release the GIL, so threads
+    scale across host cores the way the reference's ``workers`` processes
+    do). Sample RNG is then split per sample via ``Generator.spawn`` — still
+    deterministic for a fixed (seed, epoch, workers>1), but a different
+    stream than the sequential path.
     """
 
     def __init__(self, dataset: YOLODataset, batch_size: int = 16, imgsz: int = 640,
                  augment: bool = True, hyp: Optional[dict] = None, max_gt: int = 64,
                  shuffle: Optional[bool] = None, seed: int = 0, drop_last: bool = True,
-                 prefetch: int = 2, task: Optional[str] = None):
+                 prefetch: int = 2, task: Optional[str] = None, workers: int = 0):
         self.dataset = dataset
         self.task = task or getattr(dataset, "task", "detect")
         if self.task == "obb":
@@ -125,6 +131,8 @@ class DataLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.workers = int(workers)
+        self._pool = None
         self._epoch = 0
 
     def close_mosaic(self):
@@ -149,11 +157,24 @@ class DataLoader:
             idxs = order[bi * self.batch_size : (bi + 1) * self.batch_size]
             if len(idxs) == 0:
                 break
-            images, labels = [], []
-            for j in idxs:
-                img, lab = self.transforms(self.dataset, int(j), rng)
-                images.append(img)
-                labels.append(lab)
+            if self.workers > 1:
+                if self._pool is None:
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    self._pool = ThreadPoolExecutor(max_workers=self.workers,
+                                                    thread_name_prefix="yolo-dbl-data")
+                rngs = rng.spawn(len(idxs))
+                out = list(self._pool.map(
+                    lambda a: self.transforms(self.dataset, int(a[0]), a[1]),
+                    zip(idxs, rngs)))
+                images = [o[0] for o in out]
+                labels = [o[1] for o in out]
+            else:
+                images, labels = [], []
+                for j in idxs:
+                    img, lab = self.transforms(self.dataset, int(j), rng)
+                    images.append(img)
+                    labels.append(lab)
             if self.task != "detect":
                 batch = format_batch_task(images, labels, self.imgsz, self.max_gt, self.task)
             else:

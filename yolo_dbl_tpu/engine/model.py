@@ -118,10 +118,11 @@ class YOLO:
                ("mosaic", "mixup", "copy_paste", "copy_paste_mode", "degrees", "translate",
                 "scale", "shear", "perspective", "hsv_h", "hsv_s", "hsv_v", "fliplr",
                 "flipud", "bgr", "erasing") if hasattr(cfg, k)}
+        workers = int(getattr(cfg, "workers", 0) or 0)
         train_loader = DataLoader(train_ds, batch_size=cfg.batch, imgsz=cfg.imgsz, augment=True,
-                                  hyp=hyp, seed=cfg.seed, task=task)
+                                  hyp=hyp, seed=cfg.seed, task=task, workers=workers)
         val_loader = DataLoader(val_ds, batch_size=cfg.batch, imgsz=cfg.imgsz, augment=False,
-                                shuffle=False, drop_last=False, task=task)
+                                shuffle=False, drop_last=False, task=task, workers=workers)
 
         trainer = Trainer(self.model, overrides=dict(overrides), mesh=mesh)
         trainer.setup(steps_per_epoch=max(len(train_loader), 1))
