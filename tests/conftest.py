@@ -46,8 +46,9 @@ except RuntimeError:
     pass
 
 # Persistent XLA compilation cache: this box has ONE cpu core, so the fast
-# lane is compile-dominated (~15 min cold). With the cache warm, repeated
-# runs skip recompiles entirely. Repo-local dir, .gitignore'd.
+# lane is compile-dominated. With the cache warm the default lane runs in
+# ~11-12 min on this box (TESTS_r3.txt); cold adds recompiles on top.
+# Repo-local dir, .gitignore'd.
 jax.config.update("jax_compilation_cache_dir",
                   str(Path(__file__).resolve().parent.parent / ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

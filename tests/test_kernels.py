@@ -17,6 +17,19 @@ def test_letterbox_kernel_matches_xla(in_hw, out_hw):
     np.testing.assert_allclose(out, ref, atol=1e-6)
 
 
+@pytest.mark.parametrize("in_hw,out_hw", [((100, 160), (128, 128)), ((64, 64), (96, 96)), ((200, 100), (160, 160))])
+def test_letterbox_onehot_matches_xla(in_hw, out_hw):
+    """Separable one-hot-matmul letterbox == the XLA twin (same half-pixel
+    bilinear, same pad geometry)."""
+    from yolo_dbl_tpu.kernels.preprocess import letterbox_normalize_onehot
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (2, *in_hw, 3), dtype=np.uint8)
+    ref = np.asarray(letterbox_normalize_xla(jnp.asarray(img), out_hw))
+    out = np.asarray(letterbox_normalize_onehot(jnp.asarray(img), out_hw))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
 def test_letterbox_geometry_properties():
     img = np.full((1, 50, 100, 3), 255, np.uint8)  # wide white image
     out = np.asarray(letterbox_normalize(jnp.asarray(img), (100, 100), interpret=True))

@@ -130,6 +130,44 @@ def device_normalize(img, dtype=jnp.float32):
     return img.astype(dtype) if img.dtype != dtype else img
 
 
+def _bilinear_matrix(n_out: int, n_in: int):
+    """(n_out, n_in) sparse row matrix of bilinear weights, cv2 half-pixel
+    convention — resize along one axis is then a single matmul (MXU), the
+    same one-hot-interpolation trick as ops/resample.py."""
+    import numpy as np
+
+    r = np.arange(n_out, dtype=np.float64)
+    s = r * (n_in / n_out) + (0.5 * n_in / n_out - 0.5)
+    lo = np.floor(s)
+    w = (s - lo).astype(np.float32)
+    lo0 = np.clip(lo, 0, n_in - 1).astype(np.int64)
+    lo1 = np.clip(lo + 1, 0, n_in - 1).astype(np.int64)
+    m = np.zeros((n_out, n_in), np.float32)
+    m[np.arange(n_out), lo0] += 1.0 - w
+    m[np.arange(n_out), lo1] += w
+    return m
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw", "pad_value", "scaleup", "dtype"))
+def letterbox_normalize_onehot(images_u8, out_hw=(640, 640), pad_value=114,
+                               scaleup=False, dtype=jnp.float32):
+    """Separable-bilinear letterbox as two MXU matmuls: out = RY @ img @ RXᵀ
+    per channel, then 114-pad + /255. Same geometry as the Pallas kernel /
+    XLA twin; candidate TPU default (gathers are scatter-class on TPU, two
+    dense matmuls ride the MXU — ops/resample.py's measured lesson)."""
+    b, h_in, w_in, _ = images_u8.shape
+    h_out, w_out = out_hw
+    _, new_h, new_w, top, left = letterbox_geometry(h_in, w_in, h_out, w_out, scaleup)
+    ry = jnp.asarray(_bilinear_matrix(new_h, h_in), dtype)
+    rx = jnp.asarray(_bilinear_matrix(new_w, w_in), dtype)
+    img = images_u8.astype(dtype)
+    resized = jnp.einsum("rh,bhwc->brwc", ry, img)
+    resized = jnp.einsum("sw,brwc->brsc", rx, resized)
+    canvas = jnp.full((b, h_out, w_out, 3), jnp.asarray(pad_value, dtype), dtype)
+    canvas = jax.lax.dynamic_update_slice(canvas, resized, (0, top, left, 0))
+    return canvas / 255.0
+
+
 @functools.partial(jax.jit, static_argnames=("out_hw", "pad_value", "scaleup"))
 def letterbox_normalize_xla(images_u8, out_hw=(640, 640), pad_value=114, scaleup=False):
     """XLA twin of the kernel (CPU fallback / oversized sources): bilinear
