@@ -63,6 +63,22 @@ def test_tflite_roundtrip(small_model, tmp_path):
 
 
 @pytest.mark.slow
+def test_pb_roundtrip(small_model, tmp_path):
+    """Frozen GraphDef export (reference 'pb' format, exporter.py:181)
+    loads back through AutoBackend and matches the JAX forward."""
+    m, v = small_model
+    out = Exporter(m, v, imgsz=IMGSZ, batch=1)("pb", str(tmp_path / "model.pb"))
+    assert out.exists() and out.stat().st_size > 1024
+    x = np.random.RandomState(3).rand(1, IMGSZ, IMGSZ, 3).astype(np.float32)
+    want = np.asarray(m.predict(v, jnp.asarray(x)))
+    backend = AutoBackend(str(out), imgsz=IMGSZ)
+    got = np.asarray(backend(x))
+    assert backend.format == "pb"
+    assert got.shape == want.shape
+    assert np.allclose(got, want, rtol=1e-3, atol=1e-3), np.abs(got - want).max()
+
+
+@pytest.mark.slow
 def test_tflite_autobackend_loadback(small_model, tmp_path):
     """AutoBackend dispatches .tflite files to the TF Lite interpreter and
     matches the JAX forward (reference AutoBackend tflite branch)."""

@@ -11,7 +11,10 @@ inference function IS the deployable artifact. Supported formats:
   * saved_model — TensorFlow SavedModel via jax2tf (covers the reference's
                   saved_model/pb/tflite/tfjs family: those convert FROM
                   SavedModel with stock TF tooling);
-  * tflite     — TFLite flatbuffer through the jax2tf → TFLiteConverter path;
+  * tflite     — TFLite flatbuffer through the jax2tf → TFLiteConverter path
+                  (float, int8-PTQ, or dynamic-range quantized);
+  * pb         — frozen TensorFlow GraphDef (variables folded to constants),
+                  the reference's 'pb' row;
   * deploy     — the framework's own pickle of params + model yaml
                   (reference torchscript/.pt analogue).
 """
@@ -24,7 +27,7 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 
-FORMATS = ("stablehlo", "saved_model", "tflite", "deploy")
+FORMATS = ("stablehlo", "saved_model", "tflite", "pb", "deploy")
 
 
 class Exporter:
@@ -152,6 +155,30 @@ class Exporter:
             converter.optimizations = [tf.lite.Optimize.DEFAULT]
             converter.representative_dataset = rep_gen
         path.write_bytes(converter.convert())
+        return path
+
+    def export_pb(self, path) -> Path:
+        """Frozen TensorFlow GraphDef (.pb) — the reference's `pb` format
+        (exporter.py:181 table row 'TensorFlow GraphDef'): the jax2tf
+        concrete function with all variables folded to constants, loadable
+        via tf.import_graph_def (nn/autobackend.py handles load-back)."""
+        import tensorflow as tf
+        from jax.experimental import jax2tf
+        from tensorflow.python.framework.convert_to_constants import (
+            convert_variables_to_constants_v2,
+        )
+
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        tf_fn = tf.function(
+            jax2tf.convert(self._infer_fn(), with_gradient=False,
+                           native_serialization_platforms=("cpu",)),
+            input_signature=[tf.TensorSpec((self.batch, self.imgsz, self.imgsz, 3), tf.float32)],
+            autograph=False,
+        )
+        frozen = convert_variables_to_constants_v2(tf_fn.get_concrete_function())
+        tf.io.write_graph(frozen.graph.as_graph_def(), str(path.parent), path.name,
+                          as_text=False)
         return path
 
     def export_deploy(self, path) -> Path:

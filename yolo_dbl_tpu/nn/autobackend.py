@@ -72,6 +72,31 @@ class AutoBackend:
 
             self._fn = fn
             self.format = "tflite"
+        elif suffix == ".pb":
+            # frozen GraphDef (Exporter.export_pb; reference AutoBackend pb
+            # branch, nn/autobackend.py 'graph_def'): import and prune to the
+            # placeholder input and the terminal Identity outputs
+            import tensorflow as tf
+
+            gd = tf.compat.v1.GraphDef()
+            gd.ParseFromString(self.path.read_bytes())
+            wrapped = tf.compat.v1.wrap_function(
+                lambda: tf.compat.v1.import_graph_def(gd, name=""), [])
+            g = wrapped.graph
+            inputs = [op.outputs[0] for op in g.get_operations() if op.type == "Placeholder"]
+            consumed = {t.name for op in g.get_operations() for t in op.inputs}
+            outputs = [op.outputs[0] for op in g.get_operations()
+                       if op.type == "Identity" and op.outputs[0].name not in consumed]
+            serve = wrapped.prune(inputs, outputs or [g.get_operations()[-1].outputs[0]])
+
+            def fn(img):
+                res = serve(tf.constant(np.asarray(img, np.float32)))
+                res = [np.asarray(r) for r in (res if isinstance(res, (list, tuple)) else [res])]
+                return jnp.asarray(res[0] if len(res) == 1 else
+                                   max(res, key=lambda a: a.size))
+
+            self._fn = fn
+            self.format = "pb"
         elif suffix == ".yaml":
             # bare config → random-init model (reference AutoBackend pt-from-yaml path)
             from ..nn.tasks import DetectionModel
