@@ -106,7 +106,7 @@ class YOLO:
         patience early stop, close_mosaic switch.
         """
         cfg = get_cfg(overrides={k: v for k, v in overrides.items()})
-        cfg.imgsz = check_imgsz(cfg.imgsz, stride=max(self.model.strides))
+        cfg.imgsz = check_imgsz(cfg.imgsz, stride=max(self.model.strides, default=1))
         names = overrides.get("names")
         task = self.task
         train_ds = YOLODataset(data, split="train", imgsz=cfg.imgsz, task=task)
@@ -162,7 +162,7 @@ class YOLO:
             if cfg.multi_scale:
                 from ..data.rect import multi_scale_sizes, resize_batch, sample_scale
 
-                ms_sizes = multi_scale_sizes(cfg.imgsz, max(self.model.strides))
+                ms_sizes = multi_scale_sizes(cfg.imgsz, max(self.model.strides, default=1))
                 ms_rng = np.random.default_rng(cfg.seed + epoch)
             # chunk batches into one scan dispatch per scan_steps (the
             # per-dispatch overhead fix, engine/trainer.py make_train_scan);
@@ -215,7 +215,7 @@ class YOLO:
     # -------------------------------------------------------------------- val
     def val(self, data: Union[str, Path], split: str = "val", batch: int = 16, imgsz: int = 640,
             conf: float = 0.001, iou: float = 0.7, coco_stats: bool = True, **kw) -> Dict:
-        imgsz = check_imgsz(imgsz, stride=max(self.model.strides))
+        imgsz = check_imgsz(imgsz, stride=max(self.model.strides, default=1))
         ds = YOLODataset(data, split=split, imgsz=imgsz, task=self.task)
         loader = DataLoader(ds, batch_size=batch, imgsz=imgsz, augment=False, shuffle=False,
                             drop_last=False, task=self.task)
@@ -238,7 +238,7 @@ class YOLO:
     def predict(self, source, conf: float = 0.25, iou: float = 0.45, imgsz: int = 640, **kw):
         """Task-dispatched prediction returning typed Results (reference
         Model.predict → task_map predictor, engine/model.py:501)."""
-        imgsz = check_imgsz(imgsz, stride=max(self.model.strides))
+        imgsz = check_imgsz(imgsz, stride=max(self.model.strides, default=1))
         predictor = self._make_predictor(conf, iou, imgsz, **kw)
         return predictor(self._ensure_variables(imgsz), source)
 
