@@ -41,6 +41,23 @@ def main():
     from yolo_dbl_tpu.nn.tasks import DetectionModel
     from yolo_dbl_tpu.ops.nms import non_max_suppression
 
+    # Preflight: when the axon TPU tunnel is down, PJRT client init blocks
+    # forever HOLDING THE GIL (no Python thread — watchdog or signal handler
+    # — can run), so probe backend init in a disposable subprocess with a
+    # timeout and fail fast instead of hanging the driver.
+    import subprocess
+
+    try:
+        subprocess.run([sys.executable, "-c", "import jax; jax.devices()"],
+                       timeout=300, check=True, capture_output=True)
+    except subprocess.TimeoutExpired:
+        print("bench.py: TPU backend init exceeded 300 s — tunnel down?", file=sys.stderr)
+        sys.exit(3)
+    except subprocess.CalledProcessError as e:
+        print(f"bench.py: TPU backend init failed:\n{e.stderr.decode()[-2000:]}", file=sys.stderr)
+        sys.exit(3)
+    print(f"# devices: {jax.devices()}", file=sys.stderr)
+
     batch = 128  # throughput sweet spot: 890 img/s vs 669 at b64 (tools/exp_batch.py)
     imgsz = 640
     dtype = jnp.bfloat16

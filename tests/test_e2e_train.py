@@ -21,6 +21,11 @@ def test_coco8_style_train_improves(tmp_path):
     # validator, ckpts) without multi-batch noise
     data = make_shapes_dataset(tmp_path / "ds", n_train=4, n_val=4, imgsz=64)
     model = YOLO("yolov8n.yaml", nc=3)
+    fired = []
+    for ev in ("on_pretrain_routine_start", "on_train_start", "on_train_epoch_start",
+               "on_fit_epoch_end", "on_model_save", "on_train_end", "teardown"):
+        model.add_callback(ev, lambda ev=ev, **kw: fired.append(ev))
+    model.callbacks.integrate("jsonl", path=tmp_path / "metrics.jsonl")
     out = model.train(
         data, epochs=6, batch=4, imgsz=64, lr0=0.005, warmup_epochs=2.0,
         mosaic=0.0, mixup=0.0, copy_paste=0.0, translate=0.0, scale=0.0,
@@ -39,3 +44,12 @@ def test_coco8_style_train_improves(tmp_path):
     # best checkpoint beats-or-matches epoch 0
     fits = [h.get("val_fitness", 0.0) for h in hist]
     assert max(fits) >= fits[0]
+    # callback wiring: lifecycle hooks fired in order, epoch hooks per epoch,
+    # and the JSONL sink recorded one line per epoch + train_end
+    assert fired[0] == "on_pretrain_routine_start" and fired[1] == "on_train_start"
+    assert fired[-2:] == ["on_train_end", "teardown"]
+    assert fired.count("on_train_epoch_start") == 6
+    assert fired.count("on_fit_epoch_end") == 6
+    assert fired.count("on_model_save") >= 1
+    lines = (tmp_path / "metrics.jsonl").read_text().strip().splitlines()
+    assert len(lines) == 7  # 6 epochs + train_end

@@ -56,6 +56,15 @@ class YOLO:
                 self.model = DetectionModel(model, nc=nc, dtype=dtype)
             self.variables = None
         self.trainer: Optional[Trainer] = None
+        from ..utils.callbacks import Callbacks
+
+        self.callbacks = Callbacks()
+
+    def add_callback(self, event: str, fn):
+        """Register a hook (reference Model.add_callback, engine/model.py:919);
+        see utils/callbacks.HOOKS for event names, and
+        `callbacks.integrate('tensorboard' | 'jsonl', ...)` for built-in sinks."""
+        self.callbacks.add(event, fn)
 
     @property
     def task(self) -> str:
@@ -106,6 +115,7 @@ class YOLO:
         patience early stop, close_mosaic switch.
         """
         cfg = get_cfg(overrides={k: v for k, v in overrides.items()})
+        self.callbacks.run("on_pretrain_routine_start", model=self, cfg=cfg)
         cfg.imgsz = check_imgsz(cfg.imgsz, stride=max(self.model.strides, default=1))
         names = overrides.get("names")
         task = self.task
@@ -153,7 +163,10 @@ class YOLO:
         history = []
         rng = jax.random.PRNGKey(cfg.seed)
         mosaic_closed = False
+        self.callbacks.run("on_pretrain_routine_end", model=self, cfg=cfg)
+        self.callbacks.run("on_train_start", model=self, cfg=cfg)
         for epoch in range(start_epoch, cfg.epochs):
+            self.callbacks.run("on_train_epoch_start", model=self, epoch=epoch)
             if cfg.close_mosaic and not mosaic_closed and epoch >= cfg.epochs - cfg.close_mosaic:
                 train_loader.close_mosaic()
                 mosaic_closed = True
@@ -201,16 +214,22 @@ class YOLO:
             avg.update(epoch=epoch, seconds=time.time() - t0, **{f"val_{k}": v for k, v in val_metrics.items()
                                                                 if isinstance(v, (int, float))})
             history.append(avg)
+            self.callbacks.run("on_train_epoch_end", model=self, epoch=epoch, metrics=avg)
+            self.callbacks.run("on_fit_epoch_end", model=self, epoch=epoch, metrics=avg)
             if fitness > best_fitness:
                 best_fitness, best_epoch = fitness, epoch
                 save_deploy(run_dir / "best.ckpt", ema_vars, model_yaml=self.model.yaml, nc=self.model.nc)
+                self.callbacks.run("on_model_save", model=self, path=run_dir / "best.ckpt")
             save_checkpoint(run_dir / "last.ckpt", trainer.state, best_fitness=best_fitness,
                             train_args=dict(overrides), metrics=val_metrics,
                             epoch=epoch, best_epoch=best_epoch)
             if cfg.patience and epoch - best_epoch >= cfg.patience:
                 break
         self.variables = {"params": trainer.state.ema_params, "batch_stats": trainer.state.batch_stats}
-        return {"history": history, "best_fitness": best_fitness, "run_dir": str(run_dir)}
+        out = {"history": history, "best_fitness": best_fitness, "run_dir": str(run_dir)}
+        self.callbacks.run("on_train_end", model=self, metrics=history[-1] if history else {})
+        self.callbacks.run("teardown", model=self)
+        return out
 
     # -------------------------------------------------------------------- val
     def val(self, data: Union[str, Path], split: str = "val", batch: int = 16, imgsz: int = 640,
@@ -223,7 +242,10 @@ class YOLO:
             validator = DetectionValidator(self.model, conf=conf, iou=iou, use_coco_stats=coco_stats)
         else:
             validator = self._make_validator(conf=conf, iou=iou)
-        return validator(self._ensure_variables(imgsz), loader)
+        self.callbacks.run("on_val_start", model=self)
+        metrics = validator(self._ensure_variables(imgsz), loader)
+        self.callbacks.run("on_val_end", model=self, metrics=metrics)
+        return metrics
 
     # ---------------------------------------------------------------- predict
     def _make_predictor(self, conf, iou, imgsz, **kw):
@@ -240,7 +262,10 @@ class YOLO:
         Model.predict → task_map predictor, engine/model.py:501)."""
         imgsz = check_imgsz(imgsz, stride=max(self.model.strides, default=1))
         predictor = self._make_predictor(conf, iou, imgsz, **kw)
-        return predictor(self._ensure_variables(imgsz), source)
+        self.callbacks.run("on_predict_start", model=self)
+        results = predictor(self._ensure_variables(imgsz), source)
+        self.callbacks.run("on_predict_end", model=self, results=results)
+        return results
 
     __call__ = predict
 
@@ -283,7 +308,10 @@ class YOLO:
 
         exporter = Exporter(self.model, self._ensure_variables(imgsz), imgsz=imgsz,
                             batch=batch, with_nms=nms)
-        return exporter(fmt=format, path=path)
+        self.callbacks.run("on_export_start", model=self, format=format)
+        out = exporter(fmt=format, path=path)
+        self.callbacks.run("on_export_end", model=self, path=out)
+        return out
 
     # -------------------------------------------------------------- benchmark
     def benchmark(self, data: Union[str, Path, None] = None, imgsz: int = 640,

@@ -56,9 +56,13 @@ def crop_mask_loss(pred_masks, gt_masks, boxes_xyxy_mask_space, fg_weight, eps=1
     return (per * fg_weight).sum() / jnp.maximum(fg_weight.sum(), 1.0)
 
 
-# COCO-17 keypoint sigmas (reference v8PoseLoss / KeypointLoss, loss.py:140)
-OKS_SIGMA = jnp.array(
-    [0.26, 0.25, 0.25, 0.35, 0.35, 0.79, 0.79, 0.72, 0.72, 0.62, 0.62, 1.07, 1.07, 0.87, 0.87, 0.89, 0.89]
+# COCO-17 keypoint sigmas (reference v8PoseLoss / KeypointLoss, loss.py:140).
+# numpy, not jnp: module-level jnp.array forces backend init at import time.
+import numpy as _np
+
+OKS_SIGMA = _np.array(
+    [0.26, 0.25, 0.25, 0.35, 0.35, 0.79, 0.79, 0.72, 0.72, 0.62, 0.62, 1.07, 1.07, 0.87, 0.87, 0.89, 0.89],
+    _np.float32,
 ) / 10.0
 
 

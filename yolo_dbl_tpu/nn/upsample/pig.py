@@ -22,14 +22,18 @@ from ..common import Conv, Conv2d
 Dtype = Any
 
 _H = 1.0 / math.sqrt(2.0)
-# db1/Haar decomposition filters (pywt dec_lo/dec_hi reversed)
-_DEC_LO = jnp.array([_H, _H])
-_DEC_HI = jnp.array([-_H, _H])
+# db1/Haar decomposition filters (pywt dec_lo/dec_hi reversed).
+# Plain numpy, NOT jnp: a module-level jnp.array initializes the JAX backend
+# at import time (which hangs the whole process when the TPU tunnel is down).
+import numpy as _np
+
+_DEC_LO = _np.array([_H, _H], _np.float32)
+_DEC_HI = _np.array([-_H, _H], _np.float32)
 
 
 def haar_filters():
     """(4, 2, 2) LL/LH/HL/HH analysis bank (reference create_wavelet_filter)."""
-    lo, hi = _DEC_LO, _DEC_HI
+    lo, hi = jnp.asarray(_DEC_LO), jnp.asarray(_DEC_HI)
     return jnp.stack([
         lo[None, :] * lo[:, None],
         lo[None, :] * hi[:, None],
