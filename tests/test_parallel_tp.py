@@ -42,6 +42,38 @@ def test_sharding_rules_shapes():
     assert p["odd"]["kernel"].spec == P()  # indivisible out dim
 
 
+def test_trainstate_copies_get_identical_specs():
+    """Round-3 review regression: the O/I alternation must be keyed on the
+    kernel, not a global counter over the flatten — a TrainState carries
+    params, ema_params, and Adam mu/nu copies of every kernel, and with an
+    ODD eligible count a global counter gives copies opposite assignments,
+    forcing a reshard on every elementwise Adam/EMA update."""
+    import flax.struct
+
+    @flax.struct.dataclass
+    class FakeState:
+        params: dict
+        ema_params: dict
+        opt_state: tuple
+
+    mesh = make_mesh(n_data=4, n_model=2, devices=cpu_devices(8))
+    # three eligible kernels (odd) in dataflow order
+    tree = {f"c{i}": {"kernel": jnp.zeros((3, 3, 256, 256))} for i in range(3)}
+    import collections
+
+    Adam = collections.namedtuple("Adam", ["mu", "nu"])
+    state = FakeState(params=tree, ema_params=tree, opt_state=(Adam(mu=tree, nu=tree),))
+    sh = model_parallel_shardings(state, mesh)
+    copies = [sh.params, sh.ema_params, sh.opt_state[0].mu, sh.opt_state[0].nu]
+    for name in ("c0", "c1", "c2"):
+        specs = {c[name]["kernel"].spec for c in copies}
+        assert len(specs) == 1, f"{name}: copies disagree: {specs}"
+    # and the chain itself alternates column -> row -> column
+    assert sh.params["c0"]["kernel"].spec == P(None, None, None, "model")
+    assert sh.params["c1"]["kernel"].spec == P(None, None, "model", None)
+    assert sh.params["c2"]["kernel"].spec == P(None, None, None, "model")
+
+
 @pytest.mark.slow
 def test_tp_predict_matches_replicated():
     from yolo_dbl_tpu.nn.tasks import DetectionModel

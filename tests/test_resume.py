@@ -61,6 +61,37 @@ def test_resume_matches_uninterrupted(tmp_path):
 
 
 @pytest.mark.slow
+def test_resume_restores_train_args(tmp_path):
+    """A bare resume=True must reconstruct the ORIGINAL run's args (imgsz,
+    batch, lr0, epochs) from the checkpoint before the loaders/optimizer are
+    built — not train on defaults (reference check_resume re-applies ckpt
+    args). Regression test for the round-3 review finding where the merge
+    happened after Trainer construction."""
+    data = make_shapes_dataset(tmp_path / "ds", n_train=8, n_val=4, imgsz=64)
+    m_a = YOLO("yolov8n.yaml", nc=3)
+    m_a.train(data, epochs=1, project=str(tmp_path / "runs"), name="args", **COMMON)
+
+    m_b = YOLO("yolov8n.yaml", nc=3)
+    out = m_b.train(data, resume=True, project=str(tmp_path / "runs"), name="args")
+    # original epochs=1 already complete... epochs restored as 1 → no new
+    # epochs run; explicit override should extend
+    assert out["history"] == []
+    m_c = YOLO("yolov8n.yaml", nc=3)
+    out = m_c.train(data, resume=True, epochs=2, project=str(tmp_path / "runs"), name="args")
+    assert [h["epoch"] for h in out["history"]] == [1]
+    # the loaders/optimizer were built from the RESTORED args, not defaults
+    assert m_c.trainer.cfg.imgsz == COMMON["imgsz"]
+    assert m_c.trainer.cfg.batch == COMMON["batch"]
+    assert float(m_c.trainer.cfg.lr0) == COMMON["lr0"]
+    # and the re-saved checkpoint carries the full effective cfg forward
+    from yolo_dbl_tpu.utils.checkpoint import peek_checkpoint_meta
+
+    ta = peek_checkpoint_meta(tmp_path / "runs" / "args" / "last.ckpt")["train_args"]
+    assert ta["imgsz"] == COMMON["imgsz"] and ta["batch"] == COMMON["batch"]
+    assert ta["epochs"] == 2 and "resume" not in ta
+
+
+@pytest.mark.slow
 def test_resume_missing_ckpt_raises(tmp_path):
     data = make_shapes_dataset(tmp_path / "ds", n_train=4, n_val=4, imgsz=64)
     m = YOLO("yolov8n.yaml", nc=3)

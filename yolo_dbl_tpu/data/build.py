@@ -139,6 +139,19 @@ class DataLoader:
         if isinstance(self.transforms, TrainTransforms):
             self.transforms.close_mosaic()
 
+    def close(self):
+        """Shut down the decode worker pool. Idempotent; the loader remains
+        usable (a later iteration lazily recreates the pool)."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def set_epoch(self, epoch: int):
         """Align the shuffle stream so the NEXT iteration reproduces epoch
         index `epoch` (0-based) of a fresh run — the resume equivalent of

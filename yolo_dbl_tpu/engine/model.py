@@ -21,7 +21,7 @@ from ..cfg import get_cfg
 from ..data.build import DataLoader
 from ..data.dataset import YOLODataset
 from ..nn.tasks import DetectionModel
-from ..utils.checkpoint import load_deploy, save_checkpoint, save_deploy
+from ..utils.checkpoint import load_deploy, peek_checkpoint_meta, save_checkpoint, save_deploy
 from ..utils.checks import check_imgsz
 from .predictor import DetectionPredictor
 from .trainer import Trainer
@@ -114,6 +114,22 @@ class YOLO:
         schedules, EMA, per-epoch val with fitness-based best checkpointing,
         patience early stop, close_mosaic switch.
         """
+        resume = overrides.get("resume", False)
+        ckpt_path = None
+        if resume:
+            # reference check_resume (engine/trainer.py:692): train args come
+            # from the checkpoint unless explicitly overridden this call, and
+            # they must be merged BEFORE the datasets, loaders, and optimizer
+            # schedule are built so imgsz/batch/lr0/epochs take effect
+            probe = get_cfg(overrides={k: v for k, v in overrides.items()})
+            probe_dir = Path(probe.project or "runs") / (probe.name or "train")
+            ckpt_path = Path(resume) if isinstance(resume, (str, Path)) else probe_dir / "last.ckpt"
+            if not ckpt_path.is_file():
+                raise FileNotFoundError(f"resume checkpoint not found: {ckpt_path}")
+            restored = {k: v for k, v in (peek_checkpoint_meta(ckpt_path)["train_args"] or {}).items()
+                        if k != "resume" and hasattr(probe, k)}
+            restored.update(overrides)  # explicit args this call win
+            overrides = restored
         cfg = get_cfg(overrides={k: v for k, v in overrides.items()})
         self.callbacks.run("on_pretrain_routine_start", model=self, cfg=cfg)
         cfg.imgsz = check_imgsz(cfg.imgsz, stride=max(self.model.strides, default=1))
@@ -139,26 +155,19 @@ class YOLO:
         self.trainer = trainer
         validator = self._make_validator()
 
-        run_dir = Path(cfg.project or "runs") / (cfg.name or "train")
+        run_dir = ckpt_path.parent if resume else Path(cfg.project or "runs") / (cfg.name or "train")
         run_dir.mkdir(parents=True, exist_ok=True)
         best_fitness, best_epoch = -1.0, -1
         start_epoch = 0
-        resume = getattr(cfg, "resume", False)
         if resume:
-            # reference check_resume/resume_training (engine/trainer.py:692,
-            # 724): restore params/opt_state/EMA/epoch/best_fitness from
-            # last.ckpt and continue the schedule; train args come from the
-            # checkpoint unless explicitly overridden this call
-            ckpt_path = Path(resume) if isinstance(resume, (str, Path)) else run_dir / "last.ckpt"
-            if not ckpt_path.is_file():
-                raise FileNotFoundError(f"resume checkpoint not found: {ckpt_path}")
+            # reference resume_training (engine/trainer.py:724): restore
+            # params/opt_state/EMA/epoch/best_fitness from last.ckpt and
+            # continue the schedule (train args were merged before the
+            # loaders/optimizer were built, top of this method)
             meta = trainer.restore(ckpt_path)
             best_fitness = float(meta["best_fitness"])
             best_epoch = int(meta.get("best_epoch", -1))
             start_epoch = int(meta.get("epoch", -1)) + 1
-            for k, v in (meta.get("train_args") or {}).items():
-                if k not in overrides and k != "resume" and hasattr(cfg, k):
-                    setattr(cfg, k, v)
             train_loader.set_epoch(start_epoch)
         history = []
         rng = jax.random.PRNGKey(cfg.seed)
@@ -220,11 +229,16 @@ class YOLO:
                 best_fitness, best_epoch = fitness, epoch
                 save_deploy(run_dir / "best.ckpt", ema_vars, model_yaml=self.model.yaml, nc=self.model.nc)
                 self.callbacks.run("on_model_save", model=self, path=run_dir / "best.ckpt")
+            # persist the FULL effective cfg (not just this call's overrides)
+            # so a later resume=True reconstructs imgsz/batch/lr0/epochs even
+            # when the original call relied on defaults
             save_checkpoint(run_dir / "last.ckpt", trainer.state, best_fitness=best_fitness,
-                            train_args=dict(overrides), metrics=val_metrics,
-                            epoch=epoch, best_epoch=best_epoch)
+                            train_args={k: v for k, v in vars(cfg).items() if k != "resume"},
+                            metrics=val_metrics, epoch=epoch, best_epoch=best_epoch)
             if cfg.patience and epoch - best_epoch >= cfg.patience:
                 break
+        train_loader.close()
+        val_loader.close()
         self.variables = {"params": trainer.state.ema_params, "batch_stats": trainer.state.batch_stats}
         out = {"history": history, "best_fitness": best_fitness, "run_dir": str(run_dir)}
         self.callbacks.run("on_train_end", model=self, metrics=history[-1] if history else {})
@@ -245,6 +259,7 @@ class YOLO:
         self.callbacks.run("on_val_start", model=self)
         metrics = validator(self._ensure_variables(imgsz), loader)
         self.callbacks.run("on_val_end", model=self, metrics=metrics)
+        loader.close()
         return metrics
 
     # ---------------------------------------------------------------- predict

@@ -854,9 +854,9 @@ def _area_attention(q, k, v, head_dim):
     bb, n, nh, hd = q.shape
     import os
 
-    dev = jax.config.jax_default_device
-    on_tpu = (jax.default_backend() == "tpu"
-              and (dev is None or getattr(dev, "platform", "tpu") == "tpu"))
+    from ..utils.device import committed_platform
+
+    on_tpu = committed_platform() == "tpu"
     # Opt-in: at YOLO head dims (32-64) the einsum path measured FASTER than
     # the flash kernel on v5e (698 vs 425 img/s for yolov13s @ b64 — the
     # kernel's 128-wide blocks waste 4x on hd=32 and force an fp32 cast).

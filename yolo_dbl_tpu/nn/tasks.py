@@ -646,8 +646,11 @@ class YOLOModel(nn.Module):
             if flag is not None:
                 if flag in ("", "0", "false"):
                     return False
-            elif jax.default_backend() not in ("tpu", "axon"):
-                return False
+            else:
+                from ..utils.device import committed_platform
+
+                if committed_platform() not in ("tpu", "axon"):
+                    return False
         elif not os.environ.get("YOLO_DBL_FUSED_STEM"):
             return False
         ls = self.spec.layers

@@ -221,8 +221,9 @@ def sample_bilinear_pixel(x, gy, gx, padding_mode: str = "border",
     b, h, w, c = x.shape
     # the pinned default device (tests/conftest.py) wins over backend
     # priority: computations actually run there
-    dev = jax.config.jax_default_device
-    plat = dev.platform if dev is not None else jax.default_backend()
+    from ..utils.device import committed_platform
+
+    plat = committed_platform()
     if prefer_onehot is None:
         prefer_onehot = plat == "tpu"
     if prefer_onehot and h * w <= _ONEHOT_MAX_SRC:

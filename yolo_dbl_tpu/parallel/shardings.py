@@ -80,19 +80,38 @@ def model_parallel_shardings(
     n_model = model_axis_size(mesh)
 
     flat, treedef = jax.tree_util.tree_flatten_with_path(variables)
-    # assign the alternation counter over eligible conv kernels in natural
-    # (dataflow-approximating) path order
-    order = sorted(range(len(flat)), key=lambda i: _natural_key(jax.tree_util.keystr(flat[i][0])))
-    shard_in_flags = [False] * len(flat)
+    # The alternation counter must be keyed on the KERNEL, not the flattened
+    # leaf: a TrainState carries several structurally-identical copies of
+    # every kernel (params, ema_params, Adam mu/nu, MultiSteps acc_grads) and
+    # a single counter across the whole flatten would give copies of the same
+    # kernel opposite O/I assignments whenever the eligible count is odd —
+    # elementwise Adam/EMA updates between differently-sharded operands then
+    # reshard every step. Canonical id = the trailing run of dict-key path
+    # segments (the flax module path), which is identical across all copies
+    # of one kernel and unique between kernels.
+    def _canonical_id(path):
+        segs = []
+        for seg in reversed(path):
+            if isinstance(seg, jax.tree_util.DictKey):
+                segs.append(str(seg.key))
+            else:
+                break
+        return tuple(reversed(segs))
+
+    ids = [_canonical_id(p) for p, _ in flat]
+    shard_ids = set()
     if alternate and n_model > 1:
-        parity = 0
-        for i in order:
-            leaf = flat[i][1]
+        elig = {}
+        for (p, leaf), cid in zip(flat, ids):
             if (leaf.ndim == 4 and leaf.size >= min_size
                     and leaf.shape[-1] % n_model == 0):
-                if parity % 2 == 1 and leaf.shape[2] % n_model == 0:
-                    shard_in_flags[i] = True
-                parity += 1
+                elig.setdefault(cid, leaf)
+        parity = 0
+        for cid in sorted(elig, key=lambda c: _natural_key("/".join(c))):
+            if parity % 2 == 1 and elig[cid].shape[2] % n_model == 0:
+                shard_ids.add(cid)
+            parity += 1
+    shard_in_flags = [cid in shard_ids for cid in ids]
 
     def spec(i, path, leaf):
         if n_model == 1:

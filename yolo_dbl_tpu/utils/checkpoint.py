@@ -47,6 +47,18 @@ def save_checkpoint(path, state, best_fitness: float = 0.0, train_args: Optional
         pickle.dump(blob, f)
 
 
+def peek_checkpoint_meta(path) -> Dict:
+    """Read resume metadata {epoch, best_fitness, train_args, metrics} without
+    needing a TrainState template — used to re-apply checkpointed train args
+    BEFORE datasets/loaders/optimizer are built (reference check_resume,
+    engine/trainer.py:692)."""
+    with open(path, "rb") as f:
+        blob = pickle.load(f)
+    return {"best_fitness": blob["best_fitness"], "train_args": blob.get("train_args") or {},
+            "metrics": blob.get("metrics") or {}, "epoch": blob.get("epoch", -1),
+            "best_epoch": blob.get("best_epoch", -1)}
+
+
 def load_checkpoint(path, state):
     """Restore into an existing TrainState template; returns (state, meta)."""
     with open(path, "rb") as f:
