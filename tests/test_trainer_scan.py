@@ -79,3 +79,34 @@ def test_uint8_batch_matches_float_batch():
     # identical to the last ulp is not guaranteed, tight tol is
     for a, b in zip(_leaves(t1.state.params), _leaves(t2.state.params)):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-7)
+
+
+def test_nonfinite_grads_skip_update():
+    """Reference AMP GradScaler semantics (trainer.py:586): a step whose
+    gradients contain inf/NaN must be SKIPPED, not applied — a degenerate
+    batch (constant image → zero BN variance → overflowing backward) then
+    costs one step instead of permanently-NaN params. build_optimizer wraps
+    the chain in optax.apply_if_finite."""
+    import jax.numpy as jnp
+
+    from yolo_dbl_tpu.cfg import get_cfg
+    from yolo_dbl_tpu.engine.train_state import build_optimizer
+
+    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+    tx, _ = build_optimizer(params, nc=3, cfg=get_cfg(), steps_per_epoch=10)
+    opt_state = tx.init(params)
+
+    bad = {"w": jnp.full((4, 4), jnp.nan), "b": jnp.full((4,), jnp.inf)}
+    updates, opt_state = tx.update(bad, opt_state, params)
+    for leaf in jax.tree_util.tree_leaves(updates):
+        np.testing.assert_array_equal(np.asarray(leaf), 0.0)
+
+    good = {"w": jnp.ones((4, 4)) * 0.1, "b": jnp.ones((4,)) * 0.1}
+    # two good updates: the first lands on inner count 0 where warmup LR is
+    # exactly 0 (update is legitimately zero); the second must be non-zero —
+    # proving the bad step did not poison or permanently halt the chain
+    updates, opt_state = tx.update(good, opt_state, params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(updates))
+    updates, opt_state = tx.update(good, opt_state, params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(updates))
+    assert any(np.abs(np.asarray(l)).max() > 0 for l in jax.tree_util.tree_leaves(updates))

@@ -127,6 +127,12 @@ def build_optimizer(
         )
     else:
         raise ValueError(f"unknown optimizer '{name}'")
+    # Skip updates whose gradients contain inf/NaN, like the reference's AMP
+    # GradScaler (trainer.py:586 scaler.unscale_+step: non-finite grads skip
+    # the optimizer step and only shrink the scale). Degenerate batches (e.g.
+    # constant images → zero BN variance → rsqrt(eps)-amplified backward
+    # overflow) then cost one skipped step instead of permanently NaN params.
+    tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
     if getattr(cfg, "grad_accumulate", False) and accumulate > 1:
         # reference nbs=64 gradient accumulation (trainer.py:369): micro-batch
         # gradients accumulate and the optimizer steps every `accumulate`
