@@ -215,3 +215,65 @@ def test_v9e_and_v3tiny_forward():
     vt = t.init(jax.random.PRNGKey(0), imgsz=64)
     outs = t.apply(vt, jnp.zeros((1, 64, 64, 3)))
     assert [f.shape for f in outs] == [(1, 4, 4, 67), (1, 2, 2, 67)]
+
+
+@pytest.mark.compileheavy
+def test_yolo11_family_param_parity():
+    """yolo11 family (reference cfg/models/11/): golden counts from the live
+    torch reference in this image. Detect-head models are ref − 16 (analytic
+    DFL fold); cls is exact. IRSTE differs additionally by the reference's
+    dead parameters, both documented divergences in nn/upsample/misc.py:
+    SobelConv's mis-shaped Conv3d weights (18·c_ per EFE; the torch edge
+    branch computes zeros) and FGM's declared-but-unused 3×3 conv (20·ce)."""
+    golden = {
+        "yolo11n.yaml": 2624080,
+        "yolo11n-seg.yaml": 2876848,
+        "yolo11n-pose.yaml": 2908507,
+        "yolo11n-obb.yaml": 2695747,
+    }
+    for name, ref in golden.items():
+        assert count_params(DetectionModel(name, nc=80)) == ref - 16, name
+    # IRSTE at scale n: ref 3051968; dead params 18*(16+32+64+128) [SobelConv
+    # x 4 C3k2_EFE stages] + 20*80 [FGM unused conv at Multibranch(320)]
+    m = DetectionModel("yolo11n-C3k2_EFE-IRSTE.yaml", nc=80)
+    assert count_params(m) == 3051968 - 16 - 18 * (16 + 32 + 64 + 128) - 20 * 80
+
+
+@pytest.mark.compileheavy
+def test_yolo11_cls_and_torchvision_backbone():
+    """yolo11-cls matches the live reference exactly (1,543,914 @ n, nc=10);
+    the TorchVision block (reference nn/modules/block.py:1123) builds the
+    native resnet18 trunk (canonical 11,176,512 params) + Classify head, and
+    produces logits."""
+    from yolo_dbl_tpu.nn.tasks import ClassificationModel
+
+    m = ClassificationModel("yolo11n-cls.yaml", nc=10)
+    assert count_params(m) == 1543914
+    r = ClassificationModel("yolo11-cls-resnet18.yaml", nc=10)
+    # trunk 11,176,512 (torchvision resnet18 minus fc) + Classify(512→1280→10)
+    assert count_params(r) == 11176512 + (512 * 1280 + 1280 * 2) + (1280 * 10 + 10)
+    v = r.init(jax.random.PRNGKey(0), imgsz=64)
+    out = r.predict(v, jnp.zeros((1, 64, 64, 3)))
+    assert out.shape == (1, 10)
+    assert bool(jnp.isfinite(out).all())
+
+
+@pytest.mark.compileheavy
+@pytest.mark.skipif(not Path("/root/reference").exists(), reason="reference not mounted")
+def test_reference_yamls_build_verbatim():
+    """Migration check: the reference's own YAML files (verbatim paths, no
+    adaptation) compile through our parse_model — the v13 family (all 9,
+    incl. the DBL pair and experiment configs) and the 11 family."""
+    ref = Path("/root/reference/models/YOLO/ultralytics/cfg/models")
+    for y in sorted((ref / "v13").glob("*.yaml")):
+        d = yaml_model_load(str(y))
+        spec = parse_model_spec(d, ch=3)
+        assert len(spec.layers) > 5, y.name
+    for name in ["yolo11.yaml", "yolo11-seg.yaml", "yolo11-C3k2_EFE-IRSTE.yaml"]:
+        d = yaml_model_load(str(ref / "11" / name))
+        assert len(parse_model_spec(d, ch=3).layers) > 5, name
+    # full module construction for the flagship, from the reference file
+    d = yaml_model_load(str(ref / "v13" / "yolov13_DBL.yaml"))
+    d["scale"] = "s"
+    m = DetectionModel(d, nc=3)
+    assert count_params(m) == 9426044 - 16  # matches the adapted-config build

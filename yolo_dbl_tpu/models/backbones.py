@@ -45,6 +45,63 @@ class ResNetBottleneck(nn.Module):
         return nn.relu(y + identity)
 
 
+class ResNetBasicBlock(nn.Module):
+    """torchvision BasicBlock: 3×3(stride) → 3×3 + projection (resnet18/34)."""
+
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        def conv_bn(y, c, k, s, name, p=0):
+            y = nn.Conv(c, (k, k), strides=(s, s), padding=[(p, p), (p, p)], use_bias=False,
+                        dtype=self.dtype, name=f"{name}_conv")(y)
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                                dtype=self.dtype, name=f"{name}_bn")(y)
+
+        identity = x
+        y = nn.relu(conv_bn(x, self.planes, 3, self.stride, "c1", p=1))
+        y = conv_bn(y, self.planes, 3, 1, "c2", p=1)
+        if self.downsample:
+            identity = conv_bn(x, self.planes, 1, self.stride, "down")
+        return nn.relu(y + identity)
+
+
+class ResNet18Features(nn.Module):
+    """ResNet-18 trunk returning {layer1..layer4} feature maps (NHWC).
+
+    Strides 4/8/16/32, channels 64/128/256/512 — matching torchvision
+    resnet18 (the backbone the reference's TorchVision module loads in
+    cfg/models/11/yolo11-cls-resnet18.yaml)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
+        y = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                         dtype=self.dtype, name="bn1")(y)
+        y = nn.relu(y)
+        y = max_pool(y, 3, 2, 1)
+        feats = {}
+        for li, (planes, stride) in enumerate(
+            [(64, 1), (128, 2), (256, 2), (512, 2)], start=1
+        ):
+            for bi in range(2):
+                y = ResNetBasicBlock(
+                    planes,
+                    stride=stride if bi == 0 else 1,
+                    downsample=bi == 0 and li > 1,
+                    dtype=self.dtype,
+                    name=f"layer{li}_{bi}",
+                )(y, train)
+            feats[f"layer{li}"] = y
+        return feats
+
+
 class ResNet50(nn.Module):
     """ResNet-50 trunk returning {layer1..layer4} feature maps (NHWC).
 

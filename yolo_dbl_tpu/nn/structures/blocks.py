@@ -497,3 +497,46 @@ class APConvPinwheel(nn.Module):
         yh1 = ch(pad(x, pads[3]), train)
         y = jnp.concatenate([yw0, yw1, yh0, yh1], axis=-1)
         return Conv(self.c2, 2, 1, p=0, dtype=self.dtype, name="cat")(y, train)
+
+
+class TorchVision(nn.Module):
+    """Backbone-from-a-zoo block (reference nn/modules/block.py:1123
+    `TorchVision`): the reference loads any torchvision model, optionally
+    unwraps its children and truncates the last `truncate` of them, and runs
+    the remainder as a feature extractor (cfg/models/11/yolo11-cls-resnet18
+    uses resnet18 with truncate=2 → the stride-32 512-channel map).
+
+    TPU build: the trunk is a native flax implementation from
+    models/backbones.py instead of a torch import. `weights` is accepted for
+    YAML compatibility but ignored — pretrained torchvision checkpoints are
+    not downloadable in this image; port them via utils/port.py if needed.
+    truncate semantics for resnets (children = [conv1,bn1,relu,maxpool,
+    layer1..4,avgpool,fc]): truncate>=2 drops avgpool+fc (feature map out),
+    truncate==1 drops only fc (global-pooled NHWC 1×1 map out).
+    """
+
+    c2: int
+    model: str = "resnet18"
+    weights: Any = "DEFAULT"  # ignored (zero-egress image); kept for YAML parity
+    unwrap: bool = True
+    truncate: int = 2
+    split: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ...models.backbones import ResNet18Features, ResNet50
+
+        trunks = {"resnet18": ResNet18Features, "resnet50": ResNet50}
+        if self.model not in trunks:
+            raise NotImplementedError(
+                f"TorchVision model '{self.model}' has no native trunk yet; "
+                f"available: {sorted(trunks)}"
+            )
+        if self.split:
+            raise NotImplementedError("TorchVision split=True is not supported")
+        feats = trunks[self.model](dtype=self.dtype, name="m")(x, train)
+        y = feats["layer4"]
+        if self.unwrap and self.truncate == 1:
+            y = y.mean(axis=(1, 2), keepdims=True)  # avgpool kept, fc dropped
+        return y

@@ -269,8 +269,9 @@ def parse_model_spec(d: Dict, ch: int = 3, verbose: bool = False) -> ModelSpec:
             c2 = chs[f]  # parameter-free maxpool (yolov7)
         elif m in ("nn.MaxPool2d", "nn.ZeroPad2d", "nn.Identity", "Silence"):
             c2 = chs[f]  # parameter-free torch layers (v3-tiny, v9e)
-        elif m == "CBLinear":
-            # c2 is the list of branch widths (reference tasks.py:1115)
+        elif m in ("CBLinear", "TorchVision"):
+            # c2 is args[0] unscaled: CBLinear's branch-width list /
+            # TorchVision's trunk output channels (reference tasks.py:1115)
             c1, c2 = chs[f], args[0]
             args = [c1, c2, *args[1:]]
         elif m == "CBFuse":
@@ -437,6 +438,8 @@ def _structure_builders():
             *a[2:], dtype=d, name=n,
         ),
         "APConv": lambda a, d, n: S.APConvPinwheel(a[1], *a[2:], dtype=d, name=n),
+        # args after spec parse: (c1, c2, model, weights, unwrap, truncate)
+        "TorchVision": lambda a, d, n: S.TorchVision(a[1], *a[2:], dtype=d, name=n),
     }
 
 
