@@ -130,3 +130,97 @@ def test_nms_output_parity_dbl():
     assert n > 0
     assert np.isfinite(dets).all()
     assert (np.diff(dets[:, 4]) <= 1e-6).all()
+
+
+def test_forward_parity_yolov8n_seg():
+    """Segment head golden parity: ported torch weights → decoded boxes,
+    mask coefficients, and prototypes all match (reference head.py
+    Segment.forward eval: (cat([det, mc], 1), (x1, mc, p)))."""
+    import torch
+
+    from . import refstub
+
+    torch.manual_seed(0)
+    ref = refstub.load_reference_model(
+        "/root/reference/models/YOLO/ultralytics/cfg/models/v8/yolov8-seg.yaml", "n", nc=80
+    ).float().eval()
+    model = DetectionModel("yolov8n-seg.yaml", nc=80)
+    variables = model.init(jax.random.PRNGKey(0), imgsz=128)
+    variables = port_state_dict(ref.state_dict(), variables, strict=True)
+
+    img = np.random.RandomState(7).rand(1, 128, 128, 3).astype(np.float32)
+    with torch.inference_mode():
+        t_out = ref(torch.from_numpy(img.transpose(0, 3, 1, 2)))
+    t_cat, t_protos = np.asarray(t_out[0]), np.asarray(t_out[1][2])
+
+    det_maps, coeffs, protos = model.apply(variables, jnp.asarray(img))
+    j_det = np.asarray(model.decode_outputs(det_maps, img_size=128))
+    j_mc = np.concatenate(
+        [np.asarray(c).reshape(1, -1, c.shape[-1]).transpose(0, 2, 1) for c in coeffs], axis=2
+    )
+    j_protos = np.asarray(protos).transpose(0, 3, 1, 2)
+    assert np.abs(t_cat[:, :4] - j_det[:, :4]).max() < 0.05
+    assert np.abs(t_cat[:, 4:84] - j_det[:, 4:]).max() < 1e-3
+    assert np.abs(t_cat[:, 84:] - j_mc).max() < 1e-4
+    assert np.abs(t_protos - j_protos).max() < 1e-4
+
+
+def test_forward_parity_yolov8n_pose():
+    """Pose head golden parity: decoded keypoints (x/y in pixels, sigmoid
+    visibility) match the reference kpts_decode (head.py Pose eval path)."""
+    import torch
+
+    from . import refstub
+    from yolo_dbl_tpu.losses.extra import kpts_decode
+    from yolo_dbl_tpu.nn.heads import flatten_levels
+    from yolo_dbl_tpu.ops.anchors import make_anchors
+
+    torch.manual_seed(0)
+    ref = refstub.load_reference_model(
+        "/root/reference/models/YOLO/ultralytics/cfg/models/v8/yolov8-pose.yaml", "n", nc=1
+    ).float().eval()
+    model = DetectionModel("yolov8n-pose.yaml", nc=1)
+    variables = model.init(jax.random.PRNGKey(0), imgsz=128)
+    variables = port_state_dict(ref.state_dict(), variables, strict=True)
+
+    img = np.random.RandomState(7).rand(1, 128, 128, 3).astype(np.float32)
+    with torch.inference_mode():
+        t_cat = np.asarray(ref(torch.from_numpy(img.transpose(0, 3, 1, 2)))[0])
+
+    feats = model.apply(variables, jnp.asarray(img))
+    det_maps, kpt_maps = feats
+    j_det = np.asarray(model.decode_outputs(feats, img_size=128))
+    anchors, stride_t = make_anchors([f.shape[1:3] for f in det_maps], model.strides)
+    pk = flatten_levels(kpt_maps).reshape(1, -1, 17, 3)
+    dec = kpts_decode(anchors, pk)
+    dec = dec.at[..., :2].multiply(stride_t[None, :, :, None])
+    dec = dec.at[..., 2].set(jax.nn.sigmoid(dec[..., 2]))
+    j_kpt = np.asarray(dec).transpose(0, 2, 3, 1).reshape(1, 51, -1)
+    assert np.abs(t_cat[:, :4] - j_det[:, :4]).max() < 0.05
+    assert np.abs(t_cat[:, 4:5] - j_det[:, 4:]).max() < 1e-3
+    assert np.abs(t_cat[:, 5:] - j_kpt).max() < 1e-4
+
+
+def test_forward_parity_yolov8n_obb():
+    """OBB head golden parity: rotated-box decode (dist2rbox), class scores,
+    and angle channel match (reference head.py OBB.forward eval concat)."""
+    import torch
+
+    from . import refstub
+
+    torch.manual_seed(0)
+    ref = refstub.load_reference_model(
+        "/root/reference/models/YOLO/ultralytics/cfg/models/v8/yolov8-obb.yaml", "n", nc=15
+    ).float().eval()
+    model = DetectionModel("yolov8n-obb.yaml", nc=15)
+    variables = model.init(jax.random.PRNGKey(0), imgsz=128)
+    variables = port_state_dict(ref.state_dict(), variables, strict=True)
+
+    img = np.random.RandomState(7).rand(1, 128, 128, 3).astype(np.float32)
+    with torch.inference_mode():
+        t_cat = np.asarray(ref(torch.from_numpy(img.transpose(0, 3, 1, 2)))[0])
+    j = np.asarray(model.predict(variables, jnp.asarray(img)))
+    assert j.shape == t_cat.shape
+    assert np.abs(t_cat[:, :4] - j[:, :4]).max() < 0.05
+    assert np.abs(t_cat[:, 4:19] - j[:, 4:19]).max() < 1e-3
+    assert np.abs(t_cat[:, 19:] - j[:, 19:]).max() < 1e-4

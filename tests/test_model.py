@@ -277,3 +277,13 @@ def test_reference_yamls_build_verbatim():
     d["scale"] = "s"
     m = DetectionModel(d, nc=3)
     assert count_params(m) == 9426044 - 16  # matches the adapted-config build
+
+
+def test_index_module_spec():
+    """Index (reference conv.py:362): list-output selector; c2 = args[0]
+    unscaled (tasks.py:1115). Maps to ExtractLayer at build time."""
+    d = {"nc": 3, "backbone": [[-1, 1, "Conv", [16, 3, 2]], [-1, 1, "Index", [16, 1]]],
+         "head": [[-1, 1, "Classify", [3]]]}
+    spec = parse_model_spec(d, ch=3)
+    layer = spec.layers[1]
+    assert layer.name == "Index" and layer.c2 == 16 and layer.args == [16, 16, 1]

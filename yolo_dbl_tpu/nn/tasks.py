@@ -213,6 +213,11 @@ def parse_model_spec(d: Dict, ch: int = 3, verbose: bool = False) -> ModelSpec:
             args = [c1, *args]
         elif m == "ExtractLayer":
             c2 = chs[f][args[0]] if isinstance(chs[f], (list, tuple)) else chs[f]
+        elif m == "Index":
+            # reference conv.py:362 Index(c1, c2, index): select one tensor
+            # from a list output; c2 = args[0] unscaled (tasks.py:1115)
+            c2 = args[0]
+            args = [chs[f], c2, *args[1:]]
         elif m == "Multibranch":
             c2 = chs[f]
             args = [c2]
@@ -427,6 +432,8 @@ def _structure_builders():
         "PatchMerging": lambda a, d, n: S.PatchMerging(a[0], a[1], dtype=d, name=n),
         "SwinStage": lambda a, d, n: S.SwinStage(a[0], a[1], *a[2:], dtype=d, name=n),
         "ExtractLayer": lambda a, d, n: S.ExtractLayer(a[0], name=n),
+        # reference Index(c1, c2, index=0) == ExtractLayer on the index arg
+        "Index": lambda a, d, n: S.ExtractLayer(a[2] if len(a) > 2 else 0, name=n),
         "MQA": lambda a, d, n: S.MQA(a[0], *a[1:], dtype=d, name=n),
         "MFA": lambda a, d, n: S.MFA(a[1] if len(a) > 1 else a[0], *a[2:], dtype=d, name=n),
         "RepGhostBottleneck": lambda a, d, n: S.RepGhostBottleneck(a[1], a[2] if len(a) > 2 else a[1], *a[3:], dtype=d, name=n),

@@ -93,14 +93,23 @@ def port_state_dict(
             continue
         merged, leaf = _merge_path(key)
         root = stats if leaf in ("running_mean", "running_var") else params
-        node = root
-        ok = True
-        for c in merged:
-            if isinstance(node, Mapping) and c in node:
-                node = node[c]
-            else:
-                ok = False
-                break
+
+        def walk(path):
+            node = root
+            for c in path:
+                if isinstance(node, Mapping) and c in node:
+                    node = node[c]
+                else:
+                    return None
+            return node
+
+        node = walk(merged)
+        if node is None and len(merged) > 1:
+            # Segment/Pose/OBB heads: torch inherits Detect so cv2/cv3 sit
+            # directly on the head module; ours composes Detect as a named
+            # 'detect' submodule (nn/heads.py) — retry one level deeper.
+            node = walk([merged[0], "detect", *merged[1:]])
+        ok = node is not None
         if ok and leaf in ("weight", "bias") and isinstance(node, Mapping):
             # bare nn.Conv2d → our Conv2d wrapper adds a 'conv' level
             if "kernel" not in node and "scale" not in node and "bias" not in node and "conv" in node:
