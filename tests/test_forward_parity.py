@@ -224,3 +224,42 @@ def test_forward_parity_yolov8n_obb():
     assert np.abs(t_cat[:, :4] - j[:, :4]).max() < 0.05
     assert np.abs(t_cat[:, 4:19] - j[:, 4:19]).max() < 1e-3
     assert np.abs(t_cat[:, 19:] - j[:, 19:]).max() < 1e-4
+
+
+def test_forward_parity_yolov9s():
+    """v9 golden parity: RepConv dual-branch, RepNCSPELAN4 CSP-ELAN ladder,
+    and ADown/SPPELAN all port and agree (reference block.py:572-664)."""
+    _port_and_compare(
+        "/root/reference/models/YOLO/ultralytics/cfg/models/v9/yolov9s.yaml",
+        "s", "yolov9s.yaml", nc=80)
+
+
+def test_forward_parity_yolov10n():
+    """v10 golden parity on the raw one2one decode (reference
+    head.py:120 forward_end2end): the end2end head decodes xyxy
+    (decode_bboxes xywh=False), ours decodes xywh — compare in xyxy space.
+    The NMS-free top-k postprocess itself is anchor-tie-order dependent on
+    random weights, so parity is asserted pre-postprocess."""
+    import torch
+
+    from . import refstub
+    from yolo_dbl_tpu.ops.boxes import xywh2xyxy
+
+    torch.manual_seed(0)
+    ref = refstub.load_reference_model(
+        "/root/reference/models/YOLO/ultralytics/cfg/models/v10/yolov10n.yaml", "n", nc=80
+    ).float().eval()
+    type(ref.model[-1]).postprocess = staticmethod(lambda preds, max_det, nc=80: preds)
+    model = DetectionModel("yolov10n.yaml", nc=80)
+    variables = model.init(jax.random.PRNGKey(0), imgsz=128)
+    variables = port_state_dict(ref.state_dict(), variables, strict=True)
+
+    img = np.random.RandomState(7).rand(1, 128, 128, 3).astype(np.float32)
+    with torch.inference_mode():
+        t_out = ref(torch.from_numpy(img.transpose(0, 3, 1, 2)))
+    t_pred = np.asarray(t_out[0] if isinstance(t_out, (tuple, list)) else t_out).transpose(0, 2, 1)
+    j = np.asarray(model.predict(variables, jnp.asarray(img)))
+    j_xyxy = np.asarray(
+        xywh2xyxy(jnp.swapaxes(jnp.asarray(j), 1, 2)[..., :4])).transpose(0, 2, 1)
+    assert np.abs(t_pred[:, :4] - j_xyxy).max() < 0.05
+    assert np.abs(t_pred[:, 4:] - j[:, 4:]).max() < 1e-3

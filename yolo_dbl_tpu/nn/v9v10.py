@@ -40,14 +40,16 @@ class RepConv(nn.Module):
     def __call__(self, x, train: bool = False):
         c1 = x.shape[-1]
 
+        # names follow the torch attrs (conv1 = dense 3x3, conv2 = 1x1,
+        # bn = identity) so checkpoints port (utils/port.py flat-collapse)
         def branch(k, p, name):
             y = nn.Conv(self.c2, (k, k), strides=(self.s, self.s), padding=[(p, p), (p, p)],
                         feature_group_count=self.g, use_bias=False, dtype=self.dtype, name=f"{name}_conv")(x)
             return nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name=f"{name}_bn")(y)
 
-        y = branch(self.k, self.k // 2, "dense") + branch(1, 0, "pw")
+        y = branch(self.k, self.k // 2, "conv1") + branch(1, 0, "conv2")
         if self.bn and c1 == self.c2 and self.s == 1:
-            y = y + nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="id_bn")(x)
+            y = y + nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn")(x)
         return nn.silu(y) if self.act else y
 
 
@@ -88,11 +90,12 @@ class RepNCSPELAN4(nn.Module):
         y = Conv(self.c3, 1, 1, dtype=self.dtype, name="cv1")(x, train)
         c = self.c3 // 2
         ys = [y[..., :c], y[..., c:]]
-        z = RepCSP(self.c4, self.n, dtype=self.dtype, name="cv2_csp")(ys[-1], train)
-        z = Conv(self.c4, 3, 1, dtype=self.dtype, name="cv2_conv")(z, train)
+        # torch cv2/cv3 are Sequential(RepCSP, Conv) → merged names _0/_1
+        z = RepCSP(self.c4, self.n, dtype=self.dtype, name="cv2_0")(ys[-1], train)
+        z = Conv(self.c4, 3, 1, dtype=self.dtype, name="cv2_1")(z, train)
         ys.append(z)
-        z = RepCSP(self.c4, self.n, dtype=self.dtype, name="cv3_csp")(z, train)
-        z = Conv(self.c4, 3, 1, dtype=self.dtype, name="cv3_conv")(z, train)
+        z = RepCSP(self.c4, self.n, dtype=self.dtype, name="cv3_0")(z, train)
+        z = Conv(self.c4, 3, 1, dtype=self.dtype, name="cv3_1")(z, train)
         ys.append(z)
         return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv4")(jnp.concatenate(ys, -1), train)
 

@@ -18,8 +18,9 @@ parameter onto the flax tree:
   ``conv`` level our Conv2d wrapper introduces.
 
 `port_state_dict` works on any model family whose names follow these rules
-(the whole v3…v13/DBL detect zoo); unmapped keys are reported, never
-silently dropped.
+— golden forward-parity tests cover v8 (detect/seg/pose/obb), v9 (RepConv/
+RepNCSPELAN4), v10 (end2end head), v13 and v13-DBL (tests/
+test_forward_parity.py). Unmapped keys are reported, never silently dropped.
 """
 
 from __future__ import annotations
@@ -96,19 +97,39 @@ def port_state_dict(
 
         def walk(path):
             node = root
-            for c in path:
-                if isinstance(node, Mapping) and c in node:
-                    node = node[c]
-                else:
+            stack = list(path)
+            while stack:
+                if not isinstance(node, Mapping):
                     return None
+                c = stack.pop(0)
+                if c in node:
+                    node = node[c]
+                    continue
+                # flat-collapse: torch nests (conv1.conv) where ours flattens
+                # into one flax name (RepConv 'conv1_conv')
+                if stack and f"{c}_{stack[0]}" in node:
+                    node = node[f"{c}_{stack[0]}"]
+                    stack.pop(0)
+                    continue
+                # nested-split: torch flattens (one2one_cv2.0.0 → merged
+                # 'one2one_cv2_0_0') where ours nests (one2one/cv2_0_0)
+                hit = next((p for p in node if c.startswith(p + "_")), None)
+                if hit is not None and isinstance(node[hit], Mapping) \
+                        and c[len(hit) + 1:] in node[hit]:
+                    node = node[hit][c[len(hit) + 1:]]
+                    continue
+                return None
             return node
 
         node = walk(merged)
         if node is None and len(merged) > 1:
-            # Segment/Pose/OBB heads: torch inherits Detect so cv2/cv3 sit
-            # directly on the head module; ours composes Detect as a named
-            # 'detect' submodule (nn/heads.py) — retry one level deeper.
-            node = walk([merged[0], "detect", *merged[1:]])
+            # torch heads inherit Detect, so cv2/cv3 sit directly on the head
+            # module; ours composes Detect as a named submodule — 'detect'
+            # for Segment/Pose/OBB, 'one2many' for v10Detect (nn/heads.py).
+            for sub in ("detect", "one2many"):
+                node = walk([merged[0], sub, *merged[1:]])
+                if node is not None:
+                    break
         ok = node is not None
         if ok and leaf in ("weight", "bias") and isinstance(node, Mapping):
             # bare nn.Conv2d → our Conv2d wrapper adds a 'conv' level
