@@ -263,3 +263,20 @@ def test_forward_parity_yolov10n():
         xywh2xyxy(jnp.swapaxes(jnp.asarray(j), 1, 2)[..., :4])).transpose(0, 2, 1)
     assert np.abs(t_pred[:, :4] - j_xyxy).max() < 0.05
     assert np.abs(t_pred[:, 4:] - j[:, 4:]).max() < 1e-3
+
+
+@pytest.mark.parametrize(
+    "ref_rel, scale, ours, atol_box",
+    [
+        ("v12/yolov12.yaml", "n", "yolov12n.yaml", 0.05),
+        ("v5/yolov5.yaml", "s", "yolov5s.yaml", 0.05),
+        ("v3/yolov3-tiny.yaml", "", "yolov3-tiny.yaml", 0.05),
+        ("v6/yolov6.yaml", "n", "yolov6n.yaml", 0.05),
+    ],
+)
+def test_forward_parity_zoo(ref_rel, scale, ours, atol_box):
+    """Golden parity across the remaining detect families: v12 (A2C2f area
+    attention), v5 (C3 ladder), v3-tiny (maxpool trunk), v6 (ConvTranspose
+    + ReLU override) — ported weights decode identically."""
+    root = "/root/reference/models/YOLO/ultralytics/cfg/models"
+    _port_and_compare(f"{root}/{ref_rel}", scale, ours, nc=80, atol_box=atol_box)
