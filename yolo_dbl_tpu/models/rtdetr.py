@@ -27,9 +27,16 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..nn.attention.extra import TorchMHA
 from ..ops.resample import sample_bilinear_pixel
 
 Dtype = Any
+
+
+def _inverse_sigmoid(x, eps: float = 1e-5):
+    """Reference nn/modules/utils.py:34 — clamp to [0,1] then eps-guarded logit."""
+    x = jnp.clip(x, 0.0, 1.0)
+    return jnp.log(jnp.clip(x, eps) / jnp.clip(1.0 - x, eps))
 
 
 class MSDeformAttn(nn.Module):
@@ -91,9 +98,7 @@ class DeformableDecoderLayer(nn.Module):
     @nn.compact
     def __call__(self, tgt, refer_bbox, value_list, query_pos, train: bool = False):
         q = k = tgt + query_pos
-        sa = nn.MultiHeadDotProductAttention(
-            num_heads=self.n_heads, dtype=self.dtype, deterministic=True, name="self_attn"
-        )(q, k, tgt)
+        sa = TorchMHA(self.n_heads, dtype=self.dtype, name="self_attn")(q, k, tgt)
         tgt = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt + sa)
         ca = MSDeformAttn(self.d_model, self.n_levels, self.n_heads, self.n_points,
                           dtype=self.dtype, name="cross_attn")(tgt + query_pos, refer_bbox, value_list, train)
@@ -111,9 +116,12 @@ class _MLP(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # children named layers_{i} to mirror the torch MLP's ModuleList
+        # (reference head.py MLP: self.layers), so port_state_dict maps
+        # `…layers.0.weight` mechanically.
         for i in range(self.layers - 1):
-            x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype, name=f"l{i}")(x))
-        return nn.Dense(self.out, dtype=self.dtype, name=f"l{self.layers - 1}")(x)
+            x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype, name=f"layers_{i}")(x))
+        return nn.Dense(self.out, dtype=self.dtype, name=f"layers_{self.layers - 1}")(x)
 
 
 class RTDETRDecoder(nn.Module):
@@ -140,8 +148,9 @@ class RTDETRDecoder(nn.Module):
         # input projections (reference: conv1x1 + BN per level)
         proj = []
         for i, f in enumerate(feats):
-            y = nn.Conv(self.hd, (1, 1), use_bias=False, dtype=self.dtype, name=f"input_proj{i}_conv")(f)
-            y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name=f"input_proj{i}_bn")(y)
+            # names mirror the torch Sequential(Conv2d, BN) children (.0/.1)
+            y = nn.Conv(self.hd, (1, 1), use_bias=False, dtype=self.dtype, name=f"input_proj_{i}_0")(f)
+            y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name=f"input_proj_{i}_1")(y)
             proj.append(y)
         shapes = [p.shape[1:3] for p in proj]
         memory = jnp.concatenate([p.reshape(b, -1, self.hd) for p in proj], axis=1)  # (B, S, C)
@@ -159,9 +168,9 @@ class RTDETRDecoder(nn.Module):
         anchors_logit = jnp.where(valid, jnp.log(anchors / (1 - anchors)), jnp.inf)
         masked_memory = jnp.where(valid, memory, 0.0)
 
-        # encoder head → top-k query selection
-        enc_out = nn.LayerNorm(dtype=self.dtype, name="enc_output_norm")(
-            nn.Dense(self.hd, dtype=self.dtype, name="enc_output")(masked_memory)
+        # encoder head → top-k query selection (torch Sequential(Linear, LN))
+        enc_out = nn.LayerNorm(dtype=self.dtype, name="enc_output_1")(
+            nn.Dense(self.hd, dtype=self.dtype, name="enc_output_0")(masked_memory)
         )
         enc_scores = nn.Dense(self.nc, dtype=self.dtype, name="enc_score_head")(enc_out)  # (B, S, nc)
         enc_bbox_delta = _MLP(self.hd, 4, dtype=self.dtype, name="enc_bbox_head")(enc_out)
@@ -171,28 +180,38 @@ class RTDETRDecoder(nn.Module):
         ref_logit = jnp.take_along_axis(enc_bboxes_logit, topi[..., None], axis=1)  # (B, nq, 4)
         ref_bbox = jax.nn.sigmoid(ref_logit)
         enc_sel_scores = jnp.take_along_axis(enc_scores, topi[..., None], axis=1)
-        target = jax.lax.stop_gradient(jnp.take_along_axis(enc_out, topi[..., None], axis=1))
+        target = jnp.take_along_axis(enc_out, topi[..., None], axis=1)
+        target = jax.lax.stop_gradient(target) if train else target
 
-        # decoder with iterative refinement
+        # decoder with iterative refinement (reference transformer.py
+        # DeformableTransformerDecoder.forward)
         dec_bboxes, dec_scores = [], []
         tgt = target
-        refer = jax.lax.stop_gradient(ref_bbox)
+        refer = jax.lax.stop_gradient(ref_bbox) if train else ref_bbox
         # reference: MLP(4, 2*hd, hd, num_layers=2) (head.py:614)
         pos_head = _MLP(2 * self.hd, self.hd, layers=2, dtype=self.dtype, name="query_pos_head")
         # class embedding for contrastive denoising training (head.py:605);
         # created unconditionally so checkpoints carry it.
-        self.param("denoising_class_embed", nn.initializers.normal(1.0), (self.nc, self.hd))
+        _ = nn.Embed(self.nc, self.hd, dtype=self.dtype, name="denoising_class_embed")(
+            jnp.zeros((1,), jnp.int32)
+        )  # dummy touch so params exist (XLA dead-code-eliminates the lookup)
+        last_refined = None
         for i in range(self.ndl):
             pos = pos_head(refer)  # shared head, recomputed from current refs
             tgt = DeformableDecoderLayer(
-                self.hd, self.nh, nl, self.ndp, dtype=self.dtype, name=f"decoder_layer{i}"
+                self.hd, self.nh, nl, self.ndp, dtype=self.dtype, name=f"decoder_layers_{i}"
             )(tgt, refer, proj, pos, train)
-            delta = _MLP(self.hd, 4, dtype=self.dtype, name=f"dec_bbox_head{i}")(tgt)
-            refer_logit = delta + jnp.log(jnp.clip(refer, 1e-6) / jnp.clip(1 - refer, 1e-6))
-            refer = jax.nn.sigmoid(refer_logit)
-            dec_bboxes.append(refer)
-            dec_scores.append(nn.Dense(self.nc, dtype=self.dtype, name=f"dec_score_head{i}")(tgt))
-            refer = jax.lax.stop_gradient(refer) if train else refer
+            delta = _MLP(self.hd, 4, dtype=self.dtype, name=f"dec_bbox_head_{i}")(tgt)
+            refined = jax.nn.sigmoid(delta + _inverse_sigmoid(refer))
+            if train and i > 0:
+                # training keeps the grad chain through the previous layer's
+                # non-detached box (reference transformer.py:416-419)
+                dec_bboxes.append(jax.nn.sigmoid(delta + _inverse_sigmoid(last_refined)))
+            else:
+                dec_bboxes.append(refined)
+            dec_scores.append(nn.Dense(self.nc, dtype=self.dtype, name=f"dec_score_head_{i}")(tgt))
+            last_refined = refined
+            refer = jax.lax.stop_gradient(refined) if train else refined
         return (
             jnp.stack(dec_bboxes, 1),
             jnp.stack(dec_scores, 1),

@@ -38,9 +38,38 @@ def sincos_2d_position(h: int, w: int, dim: int, temperature: float = 10000.0):
     )[None]
 
 
+class TorchMHA(nn.Module):
+    """Multi-head attention in torch ``nn.MultiheadAttention`` parameter
+    layout — packed ``in_proj_weight`` (3C, C) / ``in_proj_bias`` and an
+    ``out_proj`` Linear — so reference checkpoints port mechanically
+    (utils/port.py raw-leaf branch). Math is standard scaled-dot-product."""
+
+    num_heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q, k, v):
+        c = q.shape[-1]
+        hd = c // self.num_heads
+        w_in = self.param("in_proj_weight", nn.initializers.xavier_uniform(), (3 * c, c), jnp.float32)
+        b_in = self.param("in_proj_bias", nn.initializers.zeros, (3 * c,), jnp.float32)
+        w_in, b_in = w_in.astype(self.dtype), b_in.astype(self.dtype)
+        qh = q @ w_in[:c].T + b_in[:c]
+        kh = k @ w_in[c:2 * c].T + b_in[c:2 * c]
+        vh = v @ w_in[2 * c:].T + b_in[2 * c:]
+        b, n = qh.shape[0], qh.shape[1]
+        split = lambda t: t.reshape(b, -1, self.num_heads, hd).transpose(0, 2, 1, 3)
+        qh, kh, vh = split(qh), split(kh), split(vh)
+        attn = jax.nn.softmax(jnp.einsum("bhqd,bhkd->bhqk", qh, kh) / math.sqrt(hd), axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh).transpose(0, 2, 1, 3).reshape(b, n, c)
+        return nn.Dense(c, dtype=self.dtype, name="out_proj")(out)
+
+
 class AIFI(nn.Module):
-    """RT-DETR intra-scale transformer encoder layer (reference :353):
-    post-norm MHA with pos added to q/k, GELU FFN."""
+    """RT-DETR intra-scale transformer encoder layer (reference
+    nn/modules/transformer.py:86 — the variant parse_model actually binds,
+    with ``ma``/``fc1``/``fc2`` children): post-norm MHA with pos added to
+    q/k, GELU FFN."""
 
     c1: int
     num_heads: int = 8
@@ -57,14 +86,11 @@ class AIFI(nn.Module):
         tokens = x.reshape(b, h * w, c)
         pos = sincos_2d_position(w, h, c)  # reference passes (w, h) swapped into its builder
         q = k = tokens + pos.astype(tokens.dtype)
-        attn = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, dropout_rate=self.dropout, deterministic=not train,
-            dtype=self.dtype, name="self_attn",
-        )(q, k, tokens)
+        attn = TorchMHA(self.num_heads, dtype=self.dtype, name="ma")(q, k, tokens)
         tokens = nn.LayerNorm(dtype=self.dtype, name="norm1")(tokens + attn)
-        y = nn.Dense(self.cm, dtype=self.dtype, name="linear1")(tokens)
-        y = nn.gelu(y)
-        y = nn.Dense(c, dtype=self.dtype, name="linear2")(y)
+        y = nn.Dense(self.cm, dtype=self.dtype, name="fc1")(tokens)
+        y = nn.gelu(y, approximate=False)  # torch nn.GELU() is the erf form
+        y = nn.Dense(c, dtype=self.dtype, name="fc2")(y)
         tokens = nn.LayerNorm(dtype=self.dtype, name="norm2")(tokens + y)
         return tokens.reshape(b, h, w, c)
 

@@ -311,9 +311,9 @@ class HGBlock(nn.Module):
         y = [x]
         for i in range(self.n):
             if self.lightconv:
-                y.append(LightConv(self.cm, self.k, dtype=self.dtype, name=f"m{i}")(y[-1], train))
+                y.append(LightConv(self.cm, self.k, dtype=self.dtype, name=f"m_{i}")(y[-1], train))
             else:
-                y.append(Conv(self.cm, self.k, act=r, dtype=self.dtype, name=f"m{i}")(y[-1], train))
+                y.append(Conv(self.cm, self.k, act=r, dtype=self.dtype, name=f"m_{i}")(y[-1], train))
         out = Conv(self.c2 // 2, 1, 1, act=r, dtype=self.dtype, name="sc")(jnp.concatenate(y, -1), train)
         out = Conv(self.c2, 1, 1, act=r, dtype=self.dtype, name="ec")(out, train)
         return out + x if self.shortcut and x.shape[-1] == self.c2 else out
@@ -334,7 +334,7 @@ class RepC3(nn.Module):
         c_ = int(self.c2 * self.e)
         y = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
         for i in range(self.n):
-            y = RepConv(c_, dtype=self.dtype, name=f"m{i}")(y, train)
+            y = RepConv(c_, dtype=self.dtype, name=f"m_{i}")(y, train)
         y = y + Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
         if c_ != self.c2:
             y = Conv(self.c2, 1, 1, dtype=self.dtype, name="cv3")(y, train)
