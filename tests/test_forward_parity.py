@@ -272,6 +272,7 @@ def test_forward_parity_yolov10n():
         ("v5/yolov5.yaml", "s", "yolov5s.yaml", 0.05),
         ("v3/yolov3-tiny.yaml", "", "yolov3-tiny.yaml", 0.05),
         ("v6/yolov6.yaml", "n", "yolov6n.yaml", 0.05),
+        ("11/yolo11.yaml", "n", "yolo11n.yaml", 0.05),
     ],
 )
 def test_forward_parity_zoo(ref_rel, scale, ours, atol_box):
