@@ -329,3 +329,44 @@ def test_forward_parity_rtdetr_l():
     cls_err = np.abs(t_scores[ri] - j_scores[ci]).max()
     assert box_err < 1e-5, f"aligned box decode diverges: {box_err}"
     assert cls_err < 5e-4, f"aligned cls scores diverge: {cls_err}"
+
+
+def test_forward_parity_yolov8s_world():
+    """YOLO-World golden forward parity on ported weights (reference
+    tasks.py:613 WorldModel; C2fAttn/ImagePoolingAttn/WorldDetect block.py
+    :483+). Text features are a fixed random (1, nc, 512) tensor passed to
+    both stacks (CLIP itself is out of scope zero-egress). Measured
+    box 2.3e-5 px / cls 1.3e-10 on this fixture."""
+    import torch
+    import yaml as _yaml
+
+    from . import refstub
+    from yolo_dbl_tpu.nn.tasks import WorldModel
+
+    refstub.install_stubs()
+    from ultralytics.nn.tasks import WorldModel as TWorld
+
+    with open("/root/reference/models/YOLO/ultralytics/cfg/models/v8/yolov8-world.yaml") as f:
+        d = _yaml.safe_load(f)
+    d["scale"] = "s"
+    torch.manual_seed(0)
+    ref = TWorld(d, ch=3, nc=80, verbose=False).float().eval()
+
+    model = WorldModel("yolov8s-world.yaml", nc=80)
+    variables = model.init(jax.random.PRNGKey(0), imgsz=128)
+    variables = port_state_dict(ref.state_dict(), variables, strict=True)
+
+    rng = np.random.RandomState(7)
+    img = rng.rand(1, 128, 128, 3).astype(np.float32)
+    txt = rng.rand(1, 80, 512).astype(np.float32)
+    with torch.inference_mode():
+        t = ref.predict(torch.from_numpy(img.transpose(0, 3, 1, 2)), txt_feats=torch.from_numpy(txt))
+    t = np.asarray(t[0] if isinstance(t, (tuple, list)) else t)
+
+    model.txt_feats = jnp.asarray(txt)
+    j = np.asarray(model.predict(variables, jnp.asarray(img)))
+    assert j.shape == t.shape
+    box_err = np.abs(t[:, :4] - j[:, :4]).max()
+    cls_err = np.abs(t[:, 4:] - j[:, 4:]).max()
+    assert box_err < 0.05, f"box decode diverges: {box_err}"
+    assert cls_err < 1e-3, f"cls scores diverge: {cls_err}"

@@ -112,16 +112,18 @@ class ImagePoolingAttn(nn.Module):
         b = xs[0].shape[0]
         hc = self.ec // self.nh
         tokens = []
+        # child names mirror the torch tree (Sequential(LN, Linear) → _0/_1,
+        # projections ModuleList) so port_state_dict maps mechanically
         for i, x in enumerate(xs):
-            p = nn.Conv(self.ec, (1, 1), dtype=self.dtype, name=f"proj{i}")(x)
+            p = nn.Conv(self.ec, (1, 1), dtype=self.dtype, name=f"projections_{i}")(x)
             tokens.append(adaptive_max_pool2d(p, (self.k, self.k)).reshape(b, -1, self.ec))
         t = jnp.concatenate(tokens, axis=1)  # (B, nf*k², ec)
-        q = nn.Dense(self.ec, dtype=self.dtype, name="query")(
-            nn.LayerNorm(dtype=self.dtype, name="query_ln")(text))
-        kk = nn.Dense(self.ec, dtype=self.dtype, name="key")(
-            nn.LayerNorm(dtype=self.dtype, name="key_ln")(t))
-        v = nn.Dense(self.ec, dtype=self.dtype, name="value")(
-            nn.LayerNorm(dtype=self.dtype, name="value_ln")(t))
+        q = nn.Dense(self.ec, dtype=self.dtype, name="query_1")(
+            nn.LayerNorm(dtype=self.dtype, name="query_0")(text))
+        kk = nn.Dense(self.ec, dtype=self.dtype, name="key_1")(
+            nn.LayerNorm(dtype=self.dtype, name="key_0")(t))
+        v = nn.Dense(self.ec, dtype=self.dtype, name="value_1")(
+            nn.LayerNorm(dtype=self.dtype, name="value_0")(t))
         q = q.reshape(b, -1, self.nh, hc)
         kk = kk.reshape(b, -1, self.nh, hc)
         v = v.reshape(b, -1, self.nh, hc)
