@@ -166,9 +166,16 @@ class PromptEncoder(nn.Module):
     dtype: Dtype = jnp.float32
 
     def setup(self):
-        # fixed random projection — a registered BUFFER upstream, not a param
-        self.pe_gaussian = jnp.asarray(
-            np.random.default_rng(0).standard_normal((2, self.embed_dim // 2)), jnp.float32)
+        # fixed random projection — a registered BUFFER upstream, not a param;
+        # lives in a "buffers" collection (keeps param counts at exact parity)
+        # so checkpoint porting (sam_port.py) can install the torch matrix.
+        self._pe_gaussian = self.variable(
+            "buffers", "pe_gaussian",
+            lambda: jnp.asarray(
+                np.random.default_rng(0).standard_normal((2, self.embed_dim // 2)),
+                jnp.float32,
+            ),
+        )
         # [neg point, pos point, box tl, box br], + not_a_point
         self.point_embeddings = self.param(
             "point_embeddings", nn.initializers.normal(1.0), (4, self.embed_dim))
@@ -186,7 +193,7 @@ class PromptEncoder(nn.Module):
     def _pe(self, coords):
         """coords in [0, 1] → Fourier features (encoders.py PositionEmbeddingRandom)."""
         c = 2 * coords - 1
-        c = c @ self.pe_gaussian * (2 * jnp.pi)
+        c = c @ self._pe_gaussian.value * (2 * jnp.pi)
         return jnp.concatenate([jnp.sin(c), jnp.cos(c)], axis=-1)
 
     def dense_pe(self):
@@ -201,14 +208,15 @@ class PromptEncoder(nn.Module):
         boxes (B, M, 4) xyxy px; masks (B, 256, 256, 1) logits."""
         sparse = jnp.zeros((batch, 0, self.embed_dim))
         if points is not None:
-            pts = points / self.input_image_size
+            # +0.5 shifts to pixel centers (reference encoders.py:280)
+            pts = (points + 0.5) / self.input_image_size
             pe = self._pe(pts)
             lab = labels[..., None]
             pe = jnp.where(lab == -1, self.not_a_point_embed[0], pe + jnp.where(
                 lab == 1, self.point_embeddings[1], self.point_embeddings[0]))
             sparse = jnp.concatenate([sparse, pe], axis=1)
         if boxes is not None:
-            corners = boxes.reshape(boxes.shape[0], -1, 2, 2) / self.input_image_size
+            corners = (boxes.reshape(boxes.shape[0], -1, 2, 2) + 0.5) / self.input_image_size
             pe = self._pe(corners)
             pe = pe + jnp.stack([self.point_embeddings[2], self.point_embeddings[3]])
             sparse = jnp.concatenate([sparse, pe.reshape(pe.shape[0], -1, self.embed_dim)], axis=1)

@@ -1,0 +1,186 @@
+"""Torch SAM checkpoint → our flax SAM variables.
+
+The reference vendors Meta's SAM (models/sam/modules/{encoders,transformer,
+decoders}.py) and loads its published .pt checkpoints. Our SAM
+(models/sam.py) is at exact param parity but uses flat flax names, so the
+generic utils/port.py walk cannot place the keys; this module carries the
+explicit rename table. `port_sam_state_dict` accepts a raw torch state_dict
+(e.g. `torch.load("sam_b.pt")` or the reference model's .state_dict()) and
+returns updated variables, letting reference users bring their SAM weights
+across unchanged.
+
+Layout notes:
+- torch convs are OIHW → flax HWIO; ConvTranspose2d is (I, O, kH, kW) →
+  flax (kH, kW, I, O) (lax.conv_transpose, no kernel flip at stride==kernel);
+- SAM's ViT pos_embed is already channels-last (1, H, W, C) upstream;
+- `prompt_encoder.pe_layer.positional_encoding_gaussian_matrix` is a
+  registered BUFFER upstream (not a parameter) — we mirror it in a
+  "buffers" collection so param counts stay at exact parity;
+- the four point embeddings are separate nn.Embedding(1, C) upstream and
+  one (4, C) param here; rows stack in order [neg, pos, box-tl, box-br].
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.port import _to_np
+
+# (regex on the torch key minus its leaf, replacement path template)
+# \g<N> refer to regex groups; path components are '/'-separated.
+_RULES = [
+    (r"^image_encoder\.patch_embed\.proj$", r"image_encoder/patch_embed"),
+    (r"^image_encoder\.blocks\.(\d+)\.attn\.(qkv|proj)$", r"image_encoder/block\1/attn/\2"),
+    (r"^image_encoder\.blocks\.(\d+)\.attn$", r"image_encoder/block\1/attn"),
+    (r"^image_encoder\.blocks\.(\d+)\.norm(\d)$", r"image_encoder/block\1/norm\2"),
+    (r"^image_encoder\.blocks\.(\d+)\.mlp\.lin(\d)$", r"image_encoder/block\1/mlp_lin\2"),
+    (r"^image_encoder\.neck\.0$", r"image_encoder/neck_conv1"),
+    (r"^image_encoder\.neck\.1$", r"image_encoder/neck_ln1"),
+    (r"^image_encoder\.neck\.2$", r"image_encoder/neck_conv2"),
+    (r"^image_encoder\.neck\.3$", r"image_encoder/neck_ln2"),
+    (r"^image_encoder$", r"image_encoder"),  # pos_embed raw leaf
+    (r"^prompt_encoder\.mask_downscaling\.0$", r"prompt_encoder/mask_conv1"),
+    (r"^prompt_encoder\.mask_downscaling\.1$", r"prompt_encoder/mask_ln1"),
+    (r"^prompt_encoder\.mask_downscaling\.3$", r"prompt_encoder/mask_conv2"),
+    (r"^prompt_encoder\.mask_downscaling\.4$", r"prompt_encoder/mask_ln2"),
+    (r"^prompt_encoder\.mask_downscaling\.6$", r"prompt_encoder/mask_conv3"),
+    (r"^prompt_encoder\.(no_mask_embed|not_a_point_embed)$", r"prompt_encoder/\1"),
+    (r"^mask_decoder\.transformer\.layers\.(\d+)\.self_attn\.(\w+)$",
+     r"mask_decoder/transformer/l\1_self/\2"),
+    (r"^mask_decoder\.transformer\.layers\.(\d+)\.cross_attn_token_to_image\.(\w+)$",
+     r"mask_decoder/transformer/l\1_t2i/\2"),
+    (r"^mask_decoder\.transformer\.layers\.(\d+)\.cross_attn_image_to_token\.(\w+)$",
+     r"mask_decoder/transformer/l\1_i2t/\2"),
+    (r"^mask_decoder\.transformer\.layers\.(\d+)\.norm(\d)$",
+     r"mask_decoder/transformer/l\1_norm\2"),
+    (r"^mask_decoder\.transformer\.layers\.(\d+)\.mlp\.lin(\d)$",
+     r"mask_decoder/transformer/l\1_mlp\2"),
+    (r"^mask_decoder\.transformer\.final_attn_token_to_image\.(\w+)$",
+     r"mask_decoder/transformer/final_t2i/\1"),
+    (r"^mask_decoder\.transformer\.norm_final_attn$",
+     r"mask_decoder/transformer/final_norm"),
+    (r"^mask_decoder\.output_upscaling\.0$", r"mask_decoder/upscale_conv1"),
+    (r"^mask_decoder\.output_upscaling\.1$", r"mask_decoder/upscale_ln"),
+    (r"^mask_decoder\.output_upscaling\.3$", r"mask_decoder/upscale_conv2"),
+    (r"^mask_decoder\.output_hypernetworks_mlps\.(\d+)\.layers\.(\d+)$",
+     r"mask_decoder/hyper\1_fc\2"),
+    (r"^mask_decoder\.iou_prediction_head\.layers\.([01])$", r"mask_decoder/iou_fc\1"),
+    (r"^mask_decoder\.iou_prediction_head\.layers\.2$", r"mask_decoder/iou_out"),
+    (r"^mask_decoder$", r"mask_decoder"),  # iou_token / mask_tokens handled below
+]
+
+_CONVT = ("mask_decoder/upscale_conv1", "mask_decoder/upscale_conv2")
+
+
+def _node(tree: Dict[str, Any], path):
+    for c in path:
+        tree = tree[c]
+    return tree
+
+
+def port_sam_state_dict(state_dict: Mapping[str, Any], variables: Dict[str, Any],
+                        strict: bool = True) -> Dict[str, Any]:
+    """Place a torch SAM state_dict into our SAM variables tree."""
+    import copy
+
+    import flax
+
+    out = copy.deepcopy(flax.core.unfreeze(variables))
+    params = out["params"]
+    unmapped = []
+    point_rows = {}
+
+    for key, val in state_dict.items():
+        arr = _to_np(val)
+        if key == "prompt_encoder.pe_layer.positional_encoding_gaussian_matrix":
+            out.setdefault("buffers", {}).setdefault("prompt_encoder", {})[
+                "pe_gaussian"] = jnp.asarray(arr, jnp.float32)
+            continue
+        m = re.match(r"^prompt_encoder\.point_embeddings\.(\d+)\.weight$", key)
+        if m:
+            point_rows[int(m.group(1))] = arr[0]
+            continue
+        m = re.match(r"^prompt_encoder\.(no_mask_embed|not_a_point_embed)\.weight$", key)
+        if m:
+            params["prompt_encoder"][m.group(1)] = jnp.asarray(arr)
+            continue
+        if key == "mask_decoder.iou_token.weight":
+            params["mask_decoder"]["iou_token"] = jnp.asarray(arr)
+            continue
+        if key == "mask_decoder.mask_tokens.weight":
+            params["mask_decoder"]["mask_tokens"] = jnp.asarray(arr)
+            continue
+
+        stem, leaf = key.rsplit(".", 1)
+        path = None
+        for pat, repl in _RULES:
+            m = re.match(pat, stem)
+            if m:
+                path = m.expand(repl).split("/")
+                break
+        if path is None:
+            unmapped.append(key)
+            continue
+        try:
+            node = _node(params, path)
+        except KeyError:
+            unmapped.append(key)
+            continue
+        if not isinstance(node, Mapping):
+            unmapped.append(key)
+            continue
+
+        joined = "/".join(path)
+        if leaf == "weight":
+            if "kernel" in node:
+                if arr.ndim == 4:
+                    if joined in _CONVT:
+                        # torch ConvTranspose2d (I,O,kh,kw) → flax (kh,kw,I,O)
+                        # with a spatial FLIP: lax.conv_transpose mirrors the
+                        # kernel relative to torch's adjoint-of-conv (verified
+                        # empirically, 0.0 err flipped vs 0.89 unflipped)
+                        arr = arr[:, :, ::-1, ::-1].transpose(2, 3, 0, 1).copy()
+                    else:
+                        arr = arr.transpose(2, 3, 1, 0)  # OIHW → HWIO
+                elif arr.ndim == 2:
+                    arr = arr.transpose(1, 0)
+                target = "kernel"
+            elif "scale" in node:
+                target = "scale"
+            elif "weight" in node:  # LayerNorm2d keeps the torch leaf name
+                target = "weight"
+            else:
+                unmapped.append(key)
+                continue
+        elif leaf in ("bias", "rel_pos_h", "rel_pos_w", "pos_embed"):
+            target = leaf
+        else:
+            target = leaf
+        if target not in node:
+            unmapped.append(key)
+            continue
+        cur = node[target]
+        if tuple(cur.shape) != tuple(arr.shape):
+            unmapped.append(f"{key} (shape {arr.shape} vs {tuple(cur.shape)})")
+            continue
+        node[target] = jnp.asarray(arr, dtype=cur.dtype)
+
+    if point_rows:
+        stacked = np.stack([point_rows[i] for i in sorted(point_rows)])
+        cur = params["prompt_encoder"]["point_embeddings"]
+        if stacked.shape == tuple(cur.shape):
+            params["prompt_encoder"]["point_embeddings"] = jnp.asarray(stacked, cur.dtype)
+        else:
+            unmapped.append(f"point_embeddings (shape {stacked.shape} vs {tuple(cur.shape)})")
+
+    if strict and unmapped:
+        raise ValueError(f"{len(unmapped)} SAM keys could not be ported: {unmapped[:20]}")
+    if unmapped:
+        from ..utils import LOGGER
+
+        LOGGER.warning("port_sam_state_dict: %d keys not ported: %s", len(unmapped), unmapped[:10])
+    return out
