@@ -442,3 +442,41 @@ def test_forward_parity_sam_b():
     iou_err = np.abs(t_iou.detach().numpy() - np.asarray(j_iou)).max()
     assert mask_err < 2e-3, f"mask logits diverge: {mask_err}"
     assert iou_err < 1e-3, f"iou prediction diverges: {iou_err}"
+
+
+def test_forward_parity_mobile_sam_tinyvit():
+    """MobileSAM TinyViT-5M golden forward parity on ported weights
+    (reference models/sam/modules/tiny_encoder.py; porter
+    models/sam_port.py:port_tinyvit_state_dict). Covers the MBConv stage,
+    windowed attention-bias transformer stages (incl. the flax-vs-torch
+    LayerNorm epsilon pitfall: torch defaults 1e-5), patch merging, and the
+    SAM neck. Measured neck-feature rel err 5e-4 at img 256."""
+    import torch
+
+    from . import refstub
+
+    refstub.install_stubs()
+    from ultralytics.models.sam.modules.tiny_encoder import TinyViT as TTinyViT
+
+    from yolo_dbl_tpu.models.sam_port import port_tinyvit_state_dict
+    from yolo_dbl_tpu.models.tinyvit import build_mobile_sam_encoder
+
+    torch.manual_seed(0)
+    ref = TTinyViT(img_size=256, in_chans=3, num_classes=1000,
+                   embed_dims=[64, 128, 160, 320], depths=[2, 2, 6, 2],
+                   num_heads=[2, 4, 5, 10], window_sizes=[7, 7, 14, 7],
+                   mlp_ratio=4.0).float()
+    ref.eval()  # separate call: Attention.train() override returns None
+
+    model = build_mobile_sam_encoder(img_size=256)
+    x = np.random.RandomState(7).rand(1, 256, 256, 3).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    assert sum(p.size for p in jax.tree.leaves(variables["params"])) == \
+        sum(p.numel() for p in ref.parameters())
+    variables = port_tinyvit_state_dict(ref.state_dict(), variables, strict=True)
+
+    with torch.inference_mode():
+        t_feat = ref(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    j_feat = np.asarray(model.apply(variables, jnp.asarray(x)))
+    rel = np.abs(t_feat.transpose(0, 2, 3, 1) - j_feat).max() / np.abs(t_feat).max()
+    assert rel < 5e-3, f"TinyViT neck features diverge: rel {rel}"

@@ -99,13 +99,13 @@ class DeformableDecoderLayer(nn.Module):
     def __call__(self, tgt, refer_bbox, value_list, query_pos, train: bool = False):
         q = k = tgt + query_pos
         sa = TorchMHA(self.n_heads, dtype=self.dtype, name="self_attn")(q, k, tgt)
-        tgt = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt + sa)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(tgt + sa)
         ca = MSDeformAttn(self.d_model, self.n_levels, self.n_heads, self.n_points,
                           dtype=self.dtype, name="cross_attn")(tgt + query_pos, refer_bbox, value_list, train)
-        tgt = nn.LayerNorm(dtype=self.dtype, name="norm2")(tgt + ca)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(tgt + ca)
         f = nn.Dense(self.d_ffn, dtype=self.dtype, name="linear1")(tgt)
         f = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(nn.relu(f))
-        return nn.LayerNorm(dtype=self.dtype, name="norm3")(tgt + f)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(tgt + f)
 
 
 class _MLP(nn.Module):
@@ -169,7 +169,7 @@ class RTDETRDecoder(nn.Module):
         masked_memory = jnp.where(valid, memory, 0.0)
 
         # encoder head → top-k query selection (torch Sequential(Linear, LN))
-        enc_out = nn.LayerNorm(dtype=self.dtype, name="enc_output_1")(
+        enc_out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="enc_output_1")(
             nn.Dense(self.hd, dtype=self.dtype, name="enc_output_0")(masked_memory)
         )
         enc_scores = nn.Dense(self.nc, dtype=self.dtype, name="enc_score_head")(enc_out)  # (B, S, nc)

@@ -101,7 +101,7 @@ class _ViTBlock(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         shortcut = x
-        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)  # torch partial(LN, eps=1e-6) in _build_sam
         ws = self.window_size
         if ws > 0:
             ph, pw = (ws - h % ws) % ws, (ws - w % ws) % ws
@@ -118,7 +118,7 @@ class _ViTBlock(nn.Module):
             y = y.reshape(b, hp // ws, wp // ws, ws, ws, c).transpose(0, 1, 3, 2, 4, 5)
             y = y.reshape(b, hp, wp, c)[:, :h, :w]
         x = shortcut + y
-        z = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        z = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         z = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype, name="mlp_lin1")(z)
         z = nn.Dense(c, dtype=self.dtype, name="mlp_lin2")(nn.gelu(z))
         return x + z
@@ -287,25 +287,25 @@ class TwoWayTransformer(nn.Module):
                 qpe = queries + point_embedding
                 queries = queries + _PromptAttention(
                     c, self.num_heads, dtype=self.dtype, name=f"l{i}_self")(qpe, qpe, queries)
-            queries = nn.LayerNorm(dtype=self.dtype, name=f"l{i}_norm1")(queries)
+            queries = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"l{i}_norm1")(queries)
             # token → image
             queries = queries + _PromptAttention(
                 c, self.num_heads, 2, dtype=self.dtype, name=f"l{i}_t2i")(
                 queries + point_embedding, keys + key_pe, keys)
-            queries = nn.LayerNorm(dtype=self.dtype, name=f"l{i}_norm2")(queries)
+            queries = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"l{i}_norm2")(queries)
             # mlp
             m = nn.Dense(self.mlp_dim, dtype=self.dtype, name=f"l{i}_mlp1")(queries)
             m = nn.Dense(c, dtype=self.dtype, name=f"l{i}_mlp2")(nn.relu(m))
-            queries = nn.LayerNorm(dtype=self.dtype, name=f"l{i}_norm3")(queries + m)
+            queries = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"l{i}_norm3")(queries + m)
             # image → token
             keys = keys + _PromptAttention(
                 c, self.num_heads, 2, dtype=self.dtype, name=f"l{i}_i2t")(
                 keys + key_pe, queries + point_embedding, queries)
-            keys = nn.LayerNorm(dtype=self.dtype, name=f"l{i}_norm4")(keys)
+            keys = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"l{i}_norm4")(keys)
         queries = queries + _PromptAttention(
             c, self.num_heads, 2, dtype=self.dtype, name="final_t2i")(
             queries + point_embedding, keys + key_pe, keys)
-        queries = nn.LayerNorm(dtype=self.dtype, name="final_norm")(queries)
+        queries = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="final_norm")(queries)
         return queries, keys
 
 

@@ -322,17 +322,17 @@ class MemoryAttentionLayer(nn.Module):
 
     @nn.compact
     def __call__(self, tgt, memory, pos=None, query_pos=None, num_k_exclude_rope: int = 0):
-        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(tgt)
         qk = y + query_pos if (self.pos_enc_at_attn and query_pos is not None) else y
         tgt = tgt + RoPEAttention(self.d_model, 1, dtype=self.dtype,
                                   name="self_attn")(qk, qk, y)
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(tgt)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(tgt)
         qq = y + query_pos if (self.pos_enc_at_cross_attn_queries and query_pos is not None) else y
         kk = memory + pos if (self.pos_enc_at_cross_attn_keys and pos is not None) else memory
         tgt = tgt + RoPEAttention(self.d_model, 1, kv_in_dim=64, rope_k_repeat=True,
                                   dtype=self.dtype, name="cross_attn_image")(
             qq, kk, memory, num_k_exclude_rope=num_k_exclude_rope)
-        y = nn.LayerNorm(dtype=self.dtype, name="norm3")(tgt)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(tgt)
         y = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(y)
         y = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(nn.relu(y))
         return tgt + y
@@ -356,7 +356,7 @@ class MemoryAttention(nn.Module):
             x = MemoryAttentionLayer(self.d_model, dtype=self.dtype, name=f"layer{i}")(
                 x, memory, pos=memory_pos, query_pos=curr_pos,
                 num_k_exclude_rope=num_obj_ptr_tokens)
-        return nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
 
 
 # --------------------------------------------------------------------------

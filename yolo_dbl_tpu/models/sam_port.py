@@ -82,6 +82,103 @@ def _node(tree: Dict[str, Any], path):
     return tree
 
 
+# MobileSAM TinyViT encoder (reference models/sam/modules/tiny_encoder.py),
+# keys relative to the encoder root (strip any "image_encoder." prefix first).
+_TINYVIT_RULES = [
+    (r"^patch_embed\.seq\.0\.(c|bn)$", r"patch_embed/c1/\1"),
+    (r"^patch_embed\.seq\.2\.(c|bn)$", r"patch_embed/c2/\1"),
+    (r"^layers\.0\.blocks\.(\d+)\.(conv\d)\.(c|bn)$", r"l0_b\1/\2/\3"),
+    (r"^layers\.(\d)\.downsample\.(conv\d)\.(c|bn)$", r"l\1_ds/\2/\3"),
+    (r"^layers\.([123])\.blocks\.(\d+)\.attn\.(norm|qkv|proj)$", r"l\1_b\2/attn/\3"),
+    (r"^layers\.([123])\.blocks\.(\d+)\.attn$", r"l\1_b\2/attn"),  # attention_biases
+    (r"^layers\.([123])\.blocks\.(\d+)\.local_conv\.(c|bn)$", r"l\1_b\2/local_conv/\3"),
+    (r"^layers\.([123])\.blocks\.(\d+)\.mlp\.(norm|fc1|fc2)$", r"l\1_b\2/mlp_\3"),
+    (r"^neck\.0$", r"neck_conv1"),
+    (r"^neck\.1$", r"neck_ln1"),
+    (r"^neck\.2$", r"neck_conv2"),
+    (r"^neck\.3$", r"neck_ln2"),
+    (r"^norm_head$", r"norm_head"),
+    (r"^head$", r"head"),
+]
+
+
+def port_tinyvit_state_dict(state_dict: Mapping[str, Any], variables: Dict[str, Any],
+                            strict: bool = True) -> Dict[str, Any]:
+    """Place a torch TinyViT (MobileSAM encoder) state_dict into our TinyViT
+    variables. Accepts either a standalone encoder dict or a full MobileSAM
+    dict (keys prefixed ``image_encoder.``; other components ignored —
+    port them with `port_sam_state_dict` against the SAM wrapper)."""
+    import copy
+
+    import flax
+
+    out = copy.deepcopy(flax.core.unfreeze(variables))
+    params = out["params"]
+    stats = out.get("batch_stats", {})
+    unmapped = []
+
+    for key, val in state_dict.items():
+        if key.startswith(("prompt_encoder.", "mask_decoder.")):
+            continue
+        k = key[len("image_encoder."):] if key.startswith("image_encoder.") else key
+        if k.endswith(("num_batches_tracked", "attention_bias_idxs")):
+            continue  # recomputed buffers
+        stem, leaf = k.rsplit(".", 1)
+        path = None
+        for pat, repl in _TINYVIT_RULES:
+            m = re.match(pat, stem)
+            if m:
+                path = m.expand(repl).split("/")
+                break
+        if path is None:
+            unmapped.append(key)
+            continue
+        root = stats if leaf in ("running_mean", "running_var") else params
+        try:
+            node = _node(root, path)
+        except KeyError:
+            unmapped.append(key)
+            continue
+        arr = _to_np(val)
+        if leaf == "weight":
+            if "kernel" in node:
+                if arr.ndim == 4:
+                    arr = arr.transpose(2, 3, 1, 0)
+                elif arr.ndim == 2:
+                    arr = arr.transpose(1, 0)
+                target = "kernel"
+            elif "scale" in node:
+                target = "scale"
+            elif "weight" in node:  # LayerNorm2d torch-leaf naming
+                target = "weight"
+            else:
+                unmapped.append(key)
+                continue
+        elif leaf == "running_mean":
+            target = "mean"
+        elif leaf == "running_var":
+            target = "var"
+        else:
+            target = leaf
+        if not isinstance(node, Mapping) or target not in node:
+            unmapped.append(key)
+            continue
+        cur = node[target]
+        if tuple(cur.shape) != tuple(arr.shape):
+            unmapped.append(f"{key} (shape {arr.shape} vs {tuple(cur.shape)})")
+            continue
+        node[target] = jnp.asarray(arr, dtype=cur.dtype)
+
+    if strict and unmapped:
+        raise ValueError(f"{len(unmapped)} TinyViT keys could not be ported: {unmapped[:20]}")
+    if unmapped:
+        from ..utils import LOGGER
+
+        LOGGER.warning("port_tinyvit_state_dict: %d keys not ported: %s",
+                       len(unmapped), unmapped[:10])
+    return out
+
+
 def port_sam_state_dict(state_dict: Mapping[str, Any], variables: Dict[str, Any],
                         strict: bool = True) -> Dict[str, Any]:
     """Place a torch SAM state_dict into our SAM variables tree."""

@@ -111,7 +111,7 @@ class TinyAttention(nn.Module):
         kd = self.key_dim
         nh = self.num_heads
         d = int(self.attn_ratio * kd)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         qkv = nn.Dense(nh * (2 * kd + d), dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(b, n, nh, 2 * kd + d)
         q, k, v = qkv[..., :kd], qkv[..., kd:2 * kd], qkv[..., 2 * kd:]
@@ -168,7 +168,7 @@ class TinyViTBlock(nn.Module):
         xm = ConvBN(c, self.local_conv_size, 1, self.local_conv_size // 2,
                     groups=c, dtype=self.dtype, name="local_conv")(xm, train)
         x = xm.reshape(b, hw, c)
-        y = nn.LayerNorm(dtype=self.dtype, name="mlp_norm")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="mlp_norm")(x)
         y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)
         y = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(nn.gelu(y))
         return x + y
@@ -219,7 +219,7 @@ class TinyViT(nn.Module):
         logits = None
         if self.num_classes > 0:
             # classification head exists upstream too (tiny_encoder.py:840)
-            t = nn.LayerNorm(dtype=self.dtype, name="norm_head")(tokens.mean(axis=1))
+            t = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_head")(tokens.mean(axis=1))
             logits = nn.Dense(self.num_classes, dtype=self.dtype, name="head")(t)
         return (y, logits) if with_head else y
 

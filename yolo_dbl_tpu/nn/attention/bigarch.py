@@ -138,9 +138,9 @@ class Outlooker(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         x = x + OutlookAttention(self.dim, self.num_heads, self.kernel_size, dtype=self.dtype, name="attn")(y, train)
-        z = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        z = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         z = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(z)
         z = nn.gelu(z)
         z = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(z)
@@ -291,7 +291,7 @@ class DAttention(nn.Module):
         # offsets per group from strided depthwise conv stack
         qg = q.reshape(b, h, w, self.n_groups, gc).transpose(0, 3, 1, 2, 4).reshape(b * self.n_groups, h, w, gc)
         off = Conv2d(gc, self.ksize, s=self.stride, p=self.ksize // 2, g=gc, dtype=self.dtype, name="off_dw")(qg)
-        off = nn.gelu(nn.LayerNorm(dtype=self.dtype, name="off_ln")(off))
+        off = nn.gelu(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="off_ln")(off))
         off = Conv2d(2, 1, bias=False, dtype=self.dtype, name="off_pw")(off)  # (BG, Hk, Wk, 2)
         hk, wk = off.shape[1:3]
         if self.offset_range_factor > 0:
@@ -330,9 +330,9 @@ class DAT(nn.Module):
     def __call__(self, x, train: bool = False):
         y = x
         for i in range(self.depth):
-            z = nn.LayerNorm(dtype=self.dtype, name=f"ln1_{i}")(y)
+            z = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"ln1_{i}")(y)
             y = y + DAttention(self.c1, self.num_heads, dtype=self.dtype, name=f"attn_{i}")(z, train)
-            z = nn.LayerNorm(dtype=self.dtype, name=f"ln2_{i}")(y)
+            z = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"ln2_{i}")(y)
             z = nn.Dense(self.c1 * 4, dtype=self.dtype, name=f"mlp1_{i}")(z)
             z = nn.gelu(z)
             y = y + nn.Dense(self.c1, dtype=self.dtype, name=f"mlp2_{i}")(z)

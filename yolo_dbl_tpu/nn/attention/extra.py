@@ -87,11 +87,11 @@ class AIFI(nn.Module):
         pos = sincos_2d_position(w, h, c)  # reference passes (w, h) swapped into its builder
         q = k = tokens + pos.astype(tokens.dtype)
         attn = TorchMHA(self.num_heads, dtype=self.dtype, name="ma")(q, k, tokens)
-        tokens = nn.LayerNorm(dtype=self.dtype, name="norm1")(tokens + attn)
+        tokens = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(tokens + attn)
         y = nn.Dense(self.cm, dtype=self.dtype, name="fc1")(tokens)
         y = nn.gelu(y, approximate=False)  # torch nn.GELU() is the erf form
         y = nn.Dense(c, dtype=self.dtype, name="fc2")(y)
-        tokens = nn.LayerNorm(dtype=self.dtype, name="norm2")(tokens + y)
+        tokens = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(tokens + y)
         return tokens.reshape(b, h, w, c)
 
 

@@ -198,14 +198,14 @@ class MHSA(nn.Module):
             x = Conv2d(c2, 1, dtype=self.dtype, name="proj")(x)
             c = c2
         tokens = x.reshape(b, h * w, c)
-        y = nn.LayerNorm(dtype=self.dtype, name="ln_1")(tokens)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(tokens)
         y = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, dropout_rate=self.dropout, deterministic=not train,
             dtype=self.dtype, name="self_attention",
         )(y, y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
         tokens = tokens + y
-        z = nn.LayerNorm(dtype=self.dtype, name="ln_2")(tokens)
+        z = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")(tokens)
         z = nn.Dense(c * 2, dtype=self.dtype, name="mlp_fc1")(z)
         z = nn.gelu(z)
         z = nn.Dropout(self.dropout, deterministic=not train)(z)

@@ -109,7 +109,7 @@ class SwinTransformerBlock(nn.Module):
         pad_h = (ws - h % ws) % ws
         pad_w = (ws - w % ws) % ws
         shortcut = x
-        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         y = jnp.pad(y, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
         hp, wp = h + pad_h, w + pad_w
         if shift:
@@ -126,7 +126,7 @@ class SwinTransformerBlock(nn.Module):
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
         y = y[:, :h, :w]
         x = shortcut + y
-        z = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        z = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         z = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(z)
         z = nn.gelu(z)
         z = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(z)
@@ -170,7 +170,7 @@ class PatchEmbed(nn.Module):
         pad_w = (p - w % p) % p
         x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
         y = nn.Conv(self.embed_dim, (p, p), strides=(p, p), dtype=self.dtype, name="proj")(x)
-        return nn.LayerNorm(dtype=self.dtype, name="norm")(y)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(y)
 
 
 class PatchMerging(nn.Module):
@@ -190,5 +190,5 @@ class PatchMerging(nn.Module):
         x2 = x[:, 0::2, 1::2]
         x3 = x[:, 1::2, 1::2]
         y = jnp.concatenate([x0, x1, x2, x3], axis=-1)
-        y = nn.LayerNorm(dtype=self.dtype, name="norm")(y)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(y)
         return nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype, name="reduction")(y)

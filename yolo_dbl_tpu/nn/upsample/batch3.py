@@ -236,7 +236,7 @@ class LDA_AQU(nn.Module):
             b * self.n_groups, hq, wq, gc
         )
         off = Conv2d(gc, 3, p=1, g=gc, bias=False, dtype=self.dtype, name="off_dw")(qg)
-        off = nn.gelu(nn.LayerNorm(dtype=self.dtype, name="off_ln")(off))
+        off = nn.gelu(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="off_ln")(off))
         off = Conv2d(2 * ku2, 3, p=1, dtype=self.dtype, name="off_pw")(off)  # (BG, Hq, Wq, 2ku²)
         off = jnp.tanh(off) * (self.range_factor / max(h, w))
         off = off.reshape(b * self.n_groups, hq, wq, ku2, 2)

@@ -151,7 +151,7 @@ class HAB(nn.Module):
     def __call__(self, x, mask):
         b, h, w, c = x.shape
         shortcut = x
-        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         conv_x = CAB(c, self.compress_ratio, self.squeeze_factor, dtype=self.dtype, name="cab")(y)
         if self.shift > 0:
             y = jnp.roll(y, (-self.shift, -self.shift), axis=(1, 2))
@@ -162,7 +162,7 @@ class HAB(nn.Module):
         if self.shift > 0:
             y = jnp.roll(y, (self.shift, self.shift), axis=(1, 2))
         x = shortcut + y + conv_x * self.conv_scale
-        z = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        z = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         z = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype, name="fc1")(z)
         z = nn.Dense(c, dtype=self.dtype, name="fc2")(nn.gelu(z))
         return x + z
@@ -186,7 +186,7 @@ class OCAB(nn.Module):
         nh = self.num_heads
         d = c // nh
         shortcut = x
-        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(y)
         q, kv = qkv[..., :c], qkv[..., c:]
         qw = _window_partition(q, ws)  # (nwb, ws², c)
@@ -208,7 +208,7 @@ class OCAB(nn.Module):
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh).reshape(-1, ws * ws, c)
         y = _window_reverse(out, ws, h, w, c)
         x = nn.Dense(c, dtype=self.dtype, name="proj")(y) + shortcut
-        z = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        z = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         z = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype, name="fc1")(z)
         z = nn.Dense(c, dtype=self.dtype, name="fc2")(nn.gelu(z))
         return x + z
@@ -280,7 +280,7 @@ class EQSR(nn.Module):
             y = RHAG(self.embed_dim, dep, nh, self.window_size, self.compress_ratio,
                      self.squeeze_factor, self.conv_scale, self.overlap_ratio,
                      self.mlp_ratio, dtype=self.dtype, name=f"rhag{i}")(y, mask)
-        y = nn.LayerNorm(dtype=self.dtype, name="norm")(y)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(y)
         y = nn.Conv(self.embed_dim, (3, 3), dtype=self.dtype, name="conv_after_body")(y) + feat
 
         y = nn.Conv(self.num_feat, (3, 3), dtype=self.dtype, name="conv_before_upsample")(y)

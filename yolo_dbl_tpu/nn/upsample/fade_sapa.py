@@ -146,8 +146,8 @@ class SAPA(nn.Module):
         _, hk, wk, cx = x.shape
         sf = self.up_factor
         k = self.up_kernel_size
-        yn = nn.LayerNorm(dtype=self.dtype, name="norm_y")(y)
-        xn = nn.LayerNorm(dtype=self.dtype, name="norm_x")(x)
+        yn = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_y")(y)
+        xn = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_x")(x)
         q = nn.Dense(self.embedding_dim, dtype=self.dtype, name="q")(yn)  # (B, Hq, Wq, E)
         kk = nn.Dense(self.embedding_dim, dtype=self.dtype, name="k")(xn)  # (B, Hk, Wk, E)
         k_patches = _unfold_patches(kk, k, 1)  # (B, Hk, Wk, E, k²)

@@ -68,7 +68,7 @@ class GetFourierFeatures(nn.Module):
         coord = coord.reshape(1, h, w, 2, s * s).swapaxes(-1, -2)  # (1, h, w, s², 2)
 
         shortcut = x
-        y = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         y = y.reshape(b, h, w, c // (2 * s * s), s * s, 2)
         y = (y * coord[:, :, :, None]).sum(-1)  # (b, h, w, c/(2s²), s²)
         y = y.reshape(b, h, w, c // 2)

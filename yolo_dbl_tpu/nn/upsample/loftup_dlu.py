@@ -89,13 +89,13 @@ class CATransformer(nn.Module):
     @nn.compact
     def __call__(self, q, kv):
         for i in range(self.depth):
-            qq = nn.LayerNorm(dtype=self.dtype, name=f"l{i}_norm_q")(q)
-            kk = nn.LayerNorm(dtype=self.dtype, name=f"l{i}_norm_kv")(kv)
+            qq = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"l{i}_norm_q")(q)
+            kk = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"l{i}_norm_kv")(kv)
             attn = nn.MultiHeadDotProductAttention(
                 num_heads=self.heads, qkv_features=self.dim,
                 dtype=self.dtype, name=f"l{i}_attn")(qq, kk, kk)
             q = attn + q
-            y = nn.LayerNorm(dtype=self.dtype, name=f"l{i}_ff_ln")(q)
+            y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"l{i}_ff_ln")(q)
             y = nn.Dense(self.mlp_dim, dtype=self.dtype, name=f"l{i}_ff1")(y)
             y = nn.Dense(self.dim, dtype=self.dtype, name=f"l{i}_ff2")(nn.gelu(y))
             q = y + q

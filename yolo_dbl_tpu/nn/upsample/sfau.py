@@ -154,8 +154,8 @@ class SFAU(nn.Module):
         g = ChannelAttention(8, 4, dtype=self.dtype, name="refine")(g)
         enc = nn.Conv(cx, (1, 1), dtype=self.dtype, name="pan3")(g)
 
-        yn = nn.LayerNorm(dtype=self.dtype, name="norm_y")(enc)
-        xn = nn.LayerNorm(dtype=self.dtype, name="norm_x")(x)
+        yn = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_y")(enc)
+        xn = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_x")(x)
         q = nn.Dense(self.embedding_dim, dtype=self.dtype, name="q")(yn)
         k = nn.Dense(self.embedding_dim, dtype=self.dtype, name="k")(xn)
         attn = jax.nn.softmax(sfau_sim(q, k, self.k_up, s), axis=-1)

@@ -119,11 +119,11 @@ class ImagePoolingAttn(nn.Module):
             tokens.append(adaptive_max_pool2d(p, (self.k, self.k)).reshape(b, -1, self.ec))
         t = jnp.concatenate(tokens, axis=1)  # (B, nf*k², ec)
         q = nn.Dense(self.ec, dtype=self.dtype, name="query_1")(
-            nn.LayerNorm(dtype=self.dtype, name="query_0")(text))
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="query_0")(text))
         kk = nn.Dense(self.ec, dtype=self.dtype, name="key_1")(
-            nn.LayerNorm(dtype=self.dtype, name="key_0")(t))
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="key_0")(t))
         v = nn.Dense(self.ec, dtype=self.dtype, name="value_1")(
-            nn.LayerNorm(dtype=self.dtype, name="value_0")(t))
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="value_0")(t))
         q = q.reshape(b, -1, self.nh, hc)
         kk = kk.reshape(b, -1, self.nh, hc)
         v = v.reshape(b, -1, self.nh, hc)
