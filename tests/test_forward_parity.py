@@ -480,3 +480,98 @@ def test_forward_parity_mobile_sam_tinyvit():
     j_feat = np.asarray(model.apply(variables, jnp.asarray(x)))
     rel = np.abs(t_feat.transpose(0, 2, 3, 1) - j_feat).max() / np.abs(t_feat).max()
     assert rel < 5e-3, f"TinyViT neck features diverge: rel {rel}"
+
+
+def test_forward_parity_sam2_t():
+    """SAM2-Tiny golden parity on ported weights (models/sam_port.py:
+    port_sam2_state_dict; reference build.py:68 build_sam2_t). Both stacks at
+    image_size 256. Covers: Hiera trunk + FPN neck (stride-16 features),
+    SAM2MaskDecoder (obj-score token, high-res conv_s0/s1 skips, sigmoid IoU
+    head), object-pointer projection with occlusion handling, MemoryEncoder,
+    and the RoPE MemoryAttention with object-pointer tokens excluded from
+    rotation. Measured: encoder rel 1.9e-4, masks 7.7e-5, iou 1.6e-6,
+    obj 8.8e-7, obj_ptr 1.5e-5, memenc 3.6e-4, memattn 1.4e-6."""
+    import torch
+
+    from . import refstub
+
+    refstub.install_stubs()
+    from ultralytics.models.sam.build import build_sam2_t
+
+    from yolo_dbl_tpu.models.sam2 import SAM2Model, build_sam2
+    from yolo_dbl_tpu.models.sam_port import port_sam2_state_dict
+
+    torch.manual_seed(0)
+    ref = build_sam2_t(checkpoint=None)
+    ref = ref.float()
+    ref.eval()
+
+    model = build_sam2("t", image_size=256)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)))
+    assert sum(p.size for p in jax.tree.leaves(variables["params"])) == \
+        sum(p.numel() for p in ref.parameters())
+    variables = port_sam2_state_dict(ref.state_dict(), variables, strict=True)
+
+    rng = np.random.RandomState(7)
+    img = rng.rand(1, 256, 256, 3).astype(np.float32)
+    with torch.inference_mode():
+        bb = ref.forward_image(torch.from_numpy(img.transpose(0, 3, 1, 2)))
+    t_fpn = [f.detach().numpy() for f in bb["backbone_fpn"]]
+    enc = model.apply(variables, jnp.asarray(img), method=SAM2Model.encode_image)
+    rel16 = np.abs(t_fpn[2].transpose(0, 2, 3, 1) - np.asarray(enc["vision_features"])
+                   ).max() / np.abs(t_fpn[2]).max()
+    assert rel16 < 2e-3, f"Hiera+FPN stride-16 features diverge: rel {rel16}"
+
+    # heads: torch _forward_sam_heads at this scale (attrs sized for 1024 at build)
+    t_pix = torch.from_numpy(t_fpn[2]) + ref.no_mem_embed.reshape(1, 256, 1, 1)
+    ref.sam_image_embedding_size = 16
+    ref.sam_prompt_encoder.image_embedding_size = (16, 16)
+    ref.sam_prompt_encoder.input_image_size = (256, 256)
+    ref.sam_prompt_encoder.mask_input_size = (64, 64)
+    pts = torch.tensor([[[100.0, 150.0]]])
+    lab = torch.tensor([[1]], dtype=torch.int32)
+    with torch.inference_mode():
+        lo_multi, _, ious, _, _, t_ptr, t_obj = ref._forward_sam_heads(
+            t_pix, point_inputs={"point_coords": pts, "point_labels": lab},
+            high_res_features=[torch.from_numpy(t_fpn[0]), torch.from_numpy(t_fpn[1])],
+            multimask_output=True)
+
+    j_masks, j_iou, j_toks, j_obj = model.apply(
+        variables, jnp.asarray(img), points=jnp.array([[[100.0, 150.0]]]),
+        labels=jnp.array([[1]]), multimask_output=True)
+    assert np.abs(lo_multi.detach().numpy() - np.asarray(j_masks)).max() < 2e-3
+    assert np.abs(np.asarray(ious) - np.asarray(j_iou)).max() < 1e-4
+    assert abs(float(t_obj.flatten()[0]) - float(np.asarray(j_obj).flatten()[0])) < 1e-4
+    best = int(np.asarray(ious).argmax())
+    j_ptr = model.apply(variables, j_toks[:, best], j_obj, method=SAM2Model.project_obj_ptr)
+    assert np.abs(t_ptr.detach().numpy() - np.asarray(j_ptr)).max() < 1e-3
+
+    # memory encoder + RoPE memory attention with pointer tokens
+    feat16 = rng.rand(1, 16, 16, 256).astype(np.float32)
+    mask_hi = (rng.rand(1, 256, 256, 1) * 8 - 4).astype(np.float32)
+    with torch.inference_mode():
+        t_out = ref.memory_encoder(torch.from_numpy(feat16.transpose(0, 3, 1, 2)),
+                                   torch.sigmoid(torch.from_numpy(mask_hi.transpose(0, 3, 1, 2))),
+                                   skip_mask_sigmoid=True)
+    j_mem, j_mpos = model.apply(variables, jnp.asarray(feat16), jnp.asarray(mask_hi),
+                                method=SAM2Model.encode_memory)
+    assert np.abs(t_out["vision_features"].detach().numpy().transpose(0, 2, 3, 1)
+                  - np.asarray(j_mem)).max() < 2e-3
+
+    curr = rng.rand(1, 256, 256).astype(np.float32)
+    curr_pos = rng.rand(1, 256, 256).astype(np.float32)
+    memories = rng.rand(1, 520, 64).astype(np.float32)  # 512 mem + 8 ptr tokens
+    mem_pos = np.concatenate([rng.rand(1, 512, 64), np.zeros((1, 8, 64))], 1).astype(np.float32)
+    with torch.inference_mode():
+        t_y = ref.memory_attention(
+            torch.from_numpy(curr.transpose(1, 0, 2)),
+            torch.from_numpy(memories.transpose(1, 0, 2)),
+            curr_pos=torch.from_numpy(curr_pos.transpose(1, 0, 2)),
+            memory_pos=torch.from_numpy(mem_pos.transpose(1, 0, 2)),
+            num_obj_ptr_tokens=8).detach().numpy().transpose(1, 0, 2)
+    j_y = np.asarray(model.apply(
+        variables, jnp.asarray(curr), jnp.asarray(memories), jnp.asarray(curr_pos),
+        jnp.asarray(mem_pos), 8,
+        method=lambda m, c, mm, cp, mp, nptr: m.memory_attention(
+            c, mm, curr_pos=cp, memory_pos=mp, num_obj_ptr_tokens=nptr)))
+    assert np.abs(t_y - j_y).max() < 1e-4

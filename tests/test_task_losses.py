@@ -526,8 +526,9 @@ def test_sam2_architecture_and_memory():
     pts = jnp.array([[[128.0, 128.0]]])
     lbl = jnp.array([[1]])
     v = m.init(jax.random.PRNGKey(1), img, pts, lbl)
-    masks, iou = m.apply(v, img, pts, lbl)
+    masks, iou, sam_tokens, obj_logits = m.apply(v, img, pts, lbl)
     assert masks.shape == (1, 3, 64, 64) and iou.shape == (1, 3)
+    assert sam_tokens.shape == (1, 3, 256) and obj_logits.shape == (1, 1)
 
     enc = m.apply(v, img, method="encode_image")
     src = enc["vision_features"]  # (1, 16, 16, 256)

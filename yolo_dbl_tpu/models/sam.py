@@ -208,6 +208,13 @@ class PromptEncoder(nn.Module):
         boxes (B, M, 4) xyxy px; masks (B, 256, 256, 1) logits."""
         sparse = jnp.zeros((batch, 0, self.embed_dim))
         if points is not None:
+            if boxes is None:
+                # pad with an empty point (label -1 → not_a_point embed),
+                # reference encoders.py:281-285 (_embed_points pad=True)
+                points = jnp.concatenate(
+                    [points, jnp.zeros((points.shape[0], 1, 2), points.dtype)], axis=1)
+                labels = jnp.concatenate(
+                    [labels, -jnp.ones((labels.shape[0], 1), labels.dtype)], axis=1)
             # +0.5 shifts to pixel centers (reference encoders.py:280)
             pts = (points + 0.5) / self.input_image_size
             pe = self._pe(pts)

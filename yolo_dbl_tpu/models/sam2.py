@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .sam import LayerNorm2d, MaskDecoder, PromptEncoder
+from .sam import LayerNorm2d, PromptEncoder
 
 Dtype = Any
 
@@ -430,6 +430,117 @@ class MemoryEncoder(nn.Module):
 
 
 # --------------------------------------------------------------------------
+# SAM2 mask decoder (decoders.py:176 SAM2MaskDecoder): SAM1's decoder plus
+# an object-score token/head, high-res skip features from the FPN's
+# stride-4/8 levels (conv_s0/s1), sigmoid IoU head, and optional dynamic
+# single-mask fallback via stability scores.
+# --------------------------------------------------------------------------
+class SAM2MaskDecoder(nn.Module):
+    transformer_dim: int = 256
+    num_multimask_outputs: int = 3
+    iou_head_depth: int = 3
+    iou_head_hidden: int = 256
+    dynamic_multimask_via_stability: bool = True
+    stability_delta: float = 0.05
+    stability_thresh: float = 0.98
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, image_embeddings, image_pe, sparse_prompt, dense_prompt,
+                 multimask_output: bool = True,
+                 high_res_features: Optional[Sequence[jnp.ndarray]] = None,
+                 training: bool = False):
+        """image_embeddings (B, g, g, C); high_res_features, when given, are
+        the RAW stride-4/8 FPN maps [(B, 4g, 4g, C), (B, 2g, 2g, C)] — the
+        reference applies decoder-owned conv_s0/s1 in forward_image
+        (sam.py:1013); owning the convs, we apply them here (same params,
+        same math). Returns (masks, iou, sam_tokens_out, object_score_logits)
+        per reference decoders.py:314 forward."""
+        from .sam import TwoWayTransformer
+
+        c = self.transformer_dim
+        nm = self.num_multimask_outputs + 1
+        tn = nn.initializers.normal(1.0)
+        obj_token = self.param("obj_score_token", tn, (1, c))
+        iou_token = self.param("iou_token", tn, (1, c))
+        mask_tokens = self.param("mask_tokens", tn, (nm, c))
+        b = sparse_prompt.shape[0]
+        out_tokens = jnp.broadcast_to(
+            jnp.concatenate([obj_token, iou_token, mask_tokens], 0)[None], (b, 2 + nm, c))
+        tokens = jnp.concatenate([out_tokens, sparse_prompt], axis=1)
+
+        src = image_embeddings + dense_prompt
+        hs, keys = TwoWayTransformer(dtype=self.dtype, name="transformer")(
+            src, image_pe[None], tokens)
+        iou_tok = hs[:, 1]
+        mask_toks = hs[:, 2:2 + nm]
+
+        g = src.shape[1]
+        up = keys.reshape(b, g, g, c)
+        up = nn.ConvTranspose(c // 4, (2, 2), strides=(2, 2), dtype=self.dtype,
+                              name="upscale_conv1")(up)
+        if high_res_features is not None:
+            feat_s0 = nn.Conv(c // 8, (1, 1), dtype=self.dtype, name="conv_s0")(high_res_features[0])
+            feat_s1 = nn.Conv(c // 4, (1, 1), dtype=self.dtype, name="conv_s1")(high_res_features[1])
+            up = up + feat_s1
+        up = nn.gelu(LayerNorm2d(dtype=self.dtype, name="upscale_ln")(up))
+        up = nn.ConvTranspose(c // 8, (2, 2), strides=(2, 2), dtype=self.dtype,
+                              name="upscale_conv2")(up)
+        if high_res_features is not None:
+            up = up + feat_s0
+        up = nn.gelu(up)  # (B, 4g, 4g, C/8)
+
+        hyper = []
+        for i in range(nm):
+            t = mask_toks[:, i]
+            for j in range(2):
+                t = nn.relu(nn.Dense(c, dtype=self.dtype, name=f"hyper{i}_fc{j}")(t))
+            hyper.append(nn.Dense(c // 8, dtype=self.dtype, name=f"hyper{i}_fc2")(t))
+        hyper = jnp.stack(hyper, axis=1)
+        masks = jnp.einsum("bmc,bhwc->bmhw", hyper, up)  # (B, nm, 4g, 4g)
+
+        t = iou_tok
+        for j in range(self.iou_head_depth - 1):
+            t = nn.relu(nn.Dense(self.iou_head_hidden, dtype=self.dtype, name=f"iou_fc{j}")(t))
+        iou_pred = jax.nn.sigmoid(  # iou_prediction_use_sigmoid=True in _build_sam2
+            nn.Dense(nm, dtype=self.dtype, name="iou_out")(t))
+
+        t = hs[:, 0]
+        for j in range(2):
+            t = nn.relu(nn.Dense(c, dtype=self.dtype, name=f"pobj_fc{j}")(t))
+        object_score_logits = nn.Dense(1, dtype=self.dtype, name="pobj_fc2")(t)
+
+        if multimask_output:
+            out_masks, out_iou = masks[:, 1:], iou_pred[:, 1:]
+            sam_tokens_out = mask_toks[:, 1:]  # use_multimask_token_for_obj_ptr=True
+        elif self.dynamic_multimask_via_stability and not training:
+            out_masks, out_iou = self._dynamic_single(masks, iou_pred)
+            sam_tokens_out = mask_toks[:, 0:1]
+        else:
+            out_masks, out_iou = masks[:, 0:1], iou_pred[:, 0:1]
+            sam_tokens_out = mask_toks[:, 0:1]
+        return out_masks, out_iou, sam_tokens_out, object_score_logits
+
+    def _dynamic_single(self, all_masks, all_iou):
+        """Fallback to the best multimask output when the single-mask token is
+        unstable (reference decoders.py:471)."""
+        flat = all_masks.reshape(*all_masks.shape[:2], -1)
+        area_i = (flat > self.stability_delta).sum(-1).astype(jnp.float32)
+        area_u = (flat > -self.stability_delta).sum(-1).astype(jnp.float32)
+        stability = jnp.where(area_u > 0, area_i / jnp.maximum(area_u, 1.0), 1.0)
+
+        best = jnp.argmax(all_iou[:, 1:], axis=-1) + 1  # best multimask token
+        b = all_masks.shape[0]
+        bi = jnp.arange(b)
+        multi_masks = all_masks[bi, best][:, None]
+        multi_iou = all_iou[bi, best][:, None]
+        stable = (stability[:, 0] >= self.stability_thresh)[:, None]
+        out_masks = jnp.where(stable[..., None, None], all_masks[:, 0:1], multi_masks)
+        out_iou = jnp.where(stable, all_iou[:, 0:1], multi_iou)
+        return out_masks, out_iou
+
+
+# --------------------------------------------------------------------------
 # SAM2 model (image prompting + memory conditioning)
 # --------------------------------------------------------------------------
 class SAM2Model(nn.Module):
@@ -442,6 +553,7 @@ class SAM2Model(nn.Module):
     num_heads: int = 1
     global_att_blocks: Tuple[int, ...] = (5, 7, 9)
     window_spec: Tuple[int, ...] = (8, 4, 14, 7)
+    window_spatial_size: Tuple[int, int] = (7, 7)  # pos_embed bkg grid (build.py: 14 only for sam2-b)
     backbone_channel_list: Tuple[int, ...] = (768, 384, 192, 96)
     image_size: int = 1024
     mem_dim: int = 64
@@ -450,7 +562,9 @@ class SAM2Model(nn.Module):
     def setup(self):
         trunk = Hiera(embed_dim=self.embed_dim, num_heads=self.num_heads,
                       stages=self.stages, global_att_blocks=self.global_att_blocks,
-                      window_spec=self.window_spec, dtype=self.dtype)
+                      window_spec=self.window_spec,
+                      window_pos_embed_bkg_spatial_size=self.window_spatial_size,
+                      dtype=self.dtype)
         neck = FpnNeck(d_model=256,
                        backbone_channel_list=self.backbone_channel_list,
                        dtype=self.dtype)
@@ -458,9 +572,33 @@ class SAM2Model(nn.Module):
         g = self.image_size // 16
         self.prompt_encoder = PromptEncoder(
             image_embedding_size=g, input_image_size=self.image_size, dtype=self.dtype)
-        self.mask_decoder = MaskDecoder(dtype=self.dtype)
+        self.mask_decoder = SAM2MaskDecoder(dtype=self.dtype)
         self.memory_attention = MemoryAttention(dtype=self.dtype)
         self.memory_encoder = MemoryEncoder(out_dim=self.mem_dim, dtype=self.dtype)
+        # video-tracking params (reference sam.py:252-312, _build_sam2 flags:
+        # directly_add_no_mem_embed, use_obj_ptrs_in_encoder, fixed_no_obj_ptr,
+        # use_mlp_for_obj_ptr_proj, num_maskmem=7, mem_dim=64)
+        tn = nn.initializers.normal(0.02)
+        hd = 256
+        self.no_mem_embed = self.param("no_mem_embed", tn, (1, 1, hd))
+        self.no_mem_pos_enc = self.param("no_mem_pos_enc", tn, (1, 1, hd))
+        self.maskmem_tpos_enc = self.param("maskmem_tpos_enc", tn, (7, 1, 1, self.mem_dim))
+        self.no_obj_ptr = self.param("no_obj_ptr", tn, (1, hd))
+        self.obj_ptr_proj = [nn.Dense(hd, dtype=self.dtype, name=f"optr_fc{j}") for j in range(3)]
+        # downsamples prompt masks fed alongside object pointers (sam.py:252)
+        self.mask_downsample = nn.Conv(1, (4, 4), strides=(4, 4), dtype=self.dtype,
+                                       name="mask_downsample")
+
+    def project_obj_ptr(self, sam_output_token, object_score_logits):
+        """SAM output token → object pointer with occlusion handling
+        (reference sam.py:528-537: fixed_no_obj_ptr, hard lambda)."""
+        t = sam_output_token
+        for j, fc in enumerate(self.obj_ptr_proj):
+            t = fc(t)
+            if j < 2:
+                t = nn.relu(t)
+        lam = (object_score_logits > 0).astype(t.dtype)  # (B, 1) hard choice
+        return lam * t + (1.0 - lam) * self.no_obj_ptr
 
     def encode_image(self, x):
         return self.image_encoder(x)
@@ -468,7 +606,9 @@ class SAM2Model(nn.Module):
     def __call__(self, image, points=None, labels=None, boxes=None,
                  multimask_output: bool = True):
         enc = self.image_encoder(image)
-        src = enc["vision_features"]  # (B, g, g, 256) stride-16 level
+        # image prompting adds no_mem_embed to the stride-16 level
+        # (reference predict.py:806 get_im_features, directly_add_no_mem_embed)
+        src = enc["vision_features"] + self.no_mem_embed[0]  # (B, g, g, 256)
         if self.is_initializing():
             # materialize the video-memory params (flax creates setup
             # submodule params lazily on first call)
@@ -479,9 +619,13 @@ class SAM2Model(nn.Module):
                 src.reshape(b, -1, src.shape[-1]), mem.reshape(b, -1, self.mem_dim),
                 curr_pos=enc["vision_pos_enc"][-1].reshape(1, -1, src.shape[-1]),
                 memory_pos=mpos.reshape(1, -1, self.mem_dim))
+            self.mask_downsample(jnp.zeros((1, 16, 16, 1), src.dtype))
+            self.project_obj_ptr(jnp.zeros((1, 256), src.dtype),
+                                 jnp.zeros((1, 1), src.dtype))
         sparse, dense = self.prompt_encoder(points, labels, boxes, batch=image.shape[0])
-        return self.mask_decoder(src, self.prompt_encoder.dense_pe(), sparse,
-                                 dense, multimask_output)
+        return self.mask_decoder(src, self.prompt_encoder.dense_pe(), sparse, dense,
+                                 multimask_output,
+                                 high_res_features=enc["backbone_fpn"][:2])
 
     def encode_memory(self, vision_features, mask_logits):
         """Current-frame features + predicted mask → memory (B, g, g, 64)."""
@@ -504,13 +648,15 @@ class SAM2Model(nn.Module):
         return out.reshape(b, h, w, c)
 
     def decode_masks(self, src, points=None, labels=None, boxes=None,
-                     multimask_output: bool = True):
+                     multimask_output: bool = True, high_res_features=None):
         """Prompt-encode + mask-decode on (possibly memory-conditioned)
         stride-16 features — the video path's per-frame decode (reference
-        sam2.py _forward_sam_heads)."""
+        sam.py _forward_sam_heads). Returns (masks, iou, sam_tokens_out,
+        object_score_logits)."""
         sparse, dense = self.prompt_encoder(points, labels, boxes, batch=src.shape[0])
         return self.mask_decoder(src, self.prompt_encoder.dense_pe(), sparse,
-                                 dense, multimask_output)
+                                 dense, multimask_output,
+                                 high_res_features=high_res_features)
 
 
 def build_sam2(size: str = "t", image_size: int = 1024, dtype=jnp.float32) -> SAM2Model:
@@ -524,6 +670,7 @@ def build_sam2(size: str = "t", image_size: int = 1024, dtype=jnp.float32) -> SA
                   backbone_channel_list=(768, 384, 192, 96)),
         "b": dict(embed_dim=112, num_heads=2, stages=(2, 3, 16, 3),
                   global_att_blocks=(12, 16, 20), window_spec=(8, 4, 14, 7),
+                  window_spatial_size=(14, 14),
                   backbone_channel_list=(896, 448, 224, 112)),
         "l": dict(embed_dim=144, num_heads=2, stages=(2, 6, 36, 4),
                   global_att_blocks=(23, 33, 43), window_spec=(8, 4, 16, 8),

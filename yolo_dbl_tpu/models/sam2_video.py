@@ -78,16 +78,19 @@ class SAM2VideoPredictor:
             self._jit_cache["enc"] = fn
         return fn(self.variables, frame)
 
-    def _decode(self, src, points=None, labels=None):
-        key = ("dec", points is None or np.asarray(points).shape)
+    def _decode(self, src, points=None, labels=None, high_res=None):
+        """→ (masks, iou, sam_tokens_out, object_score_logits)."""
+        key = ("dec", points is None or np.asarray(points).shape, high_res is None)
         fn = self._jit_cache.get(key)
         if fn is None:
-            fn = jax.jit(lambda v, s, p, l: self.model.apply(
-                v, s, p, l, method=SAM2Model.decode_masks, multimask_output=False))
+            fn = jax.jit(lambda v, s, p, l, hr: self.model.apply(
+                v, s, p, l, method=SAM2Model.decode_masks, multimask_output=False,
+                high_res_features=hr))
             self._jit_cache[key] = fn
         return fn(self.variables, src,
                   None if points is None else jnp.asarray(points, jnp.float32)[None],
-                  None if labels is None else jnp.asarray(labels, jnp.int32)[None])
+                  None if labels is None else jnp.asarray(labels, jnp.int32)[None],
+                  high_res)
 
     def _encode_memory(self, src, mask_logits):
         fn = self._jit_cache.get("memenc")
@@ -120,22 +123,26 @@ class SAM2VideoPredictor:
             f = jnp.asarray(f, jnp.float32) / 255.0
         return jnp.asarray(f, jnp.float32)
 
-    def _obj_ptr(self, src, mask_logits) -> jnp.ndarray:
-        """Mask-weighted pooled feature split into mem_dim pointer tokens
-        (reference sam2.py obj_ptr projection + pointer-token split)."""
-        b, h, w, c = src.shape
-        m = jax.image.resize(mask_logits, (b, h, w, 1), "bilinear")
-        w8 = jax.nn.sigmoid(m)
-        ptr = (src * w8).sum((1, 2)) / (w8.sum((1, 2)) + 1e-6)  # (B, 256)
+    def _obj_ptr(self, sam_tokens, obj_logits) -> jnp.ndarray:
+        """SAM output token → learned pointer projection with occlusion
+        handling (SAM2Model.project_obj_ptr), split into mem_dim tokens
+        (reference sam.py obj_ptrs reshape to C // mem_dim tokens)."""
+        fn = self._jit_cache.get("optr")
+        if fn is None:
+            fn = jax.jit(lambda v, t, o: self.model.apply(
+                v, t, o, method=SAM2Model.project_obj_ptr))
+            self._jit_cache["optr"] = fn
+        ptr = fn(self.variables, sam_tokens[:, 0], obj_logits)  # (B, 256)
+        b, c = ptr.shape
         return ptr.reshape(b, c // self.mem_dim, self.mem_dim)
 
-    def _frame_memory(self, src, mask_logits, frame_idx, is_cond) -> _FrameMemory:
+    def _frame_memory(self, src, mask_logits, obj_ptr, frame_idx, is_cond) -> _FrameMemory:
         mem, mpos = self._encode_memory(src, mask_logits)
         b, g, _, d = mem.shape
         return _FrameMemory(
             mem=mem.reshape(b, g * g, d),
             pos=jnp.broadcast_to(mpos.reshape(1, g * g, d), (b, g * g, d)),
-            obj_ptr=self._obj_ptr(src, mask_logits),
+            obj_ptr=obj_ptr,
             frame_idx=frame_idx, is_cond=is_cond)
 
     def _bank(self, state: _ObjectState):
@@ -160,15 +167,23 @@ class SAM2VideoPredictor:
         x = self._prep(frame)
         enc = self._encode_image(x)
         src = enc["vision_features"]
+        # prompted frames have no memory yet: add no_mem_embed directly
+        # (reference sam.py _prepare_memory_conditioned_features,
+        # directly_add_no_mem_embed=True)
+        no_mem = self.variables["params"]["no_mem_embed"]
+        src_dec = src + no_mem[0]
         # _prep resizes to a square, so prompt (x, y) scale per-axis:
         # x by image_size/W, y by image_size/H (frame is HWC or BHWC)
         fh, fw = np.asarray(frame).shape[-3:-1]
         pts = np.asarray(points, np.float32) * np.array(
             [self.image_size / fw, self.image_size / fh], np.float32)
-        masks, iou = self._decode(src, pts, np.asarray(labels, np.int32))
+        masks, iou, sam_tokens, obj_logits = self._decode(
+            src_dec, pts, np.asarray(labels, np.int32),
+            high_res=tuple(enc["backbone_fpn"][:2]))
         mask_logits = self._upmask(masks)
+        obj_ptr = self._obj_ptr(sam_tokens, obj_logits)
         state = self.objects.setdefault(obj_id, _ObjectState())
-        state.cond.append(self._frame_memory(src, mask_logits, frame_idx, True))
+        state.cond.append(self._frame_memory(src, mask_logits, obj_ptr, frame_idx, True))
         state.last_visible_ptr = state.cond[-1].obj_ptr
         return np.asarray(mask_logits[0, ..., 0]), float(iou.max())
 
@@ -190,9 +205,12 @@ class SAM2VideoPredictor:
 
         memories, memory_pos, n_ptr = self._bank(state)
         cond_src = self._condition(src, vision_pos, memories, memory_pos, n_ptr)
-        masks, iou = self._decode(cond_src)
+        masks, iou, sam_tokens, obj_logits = self._decode(
+            cond_src, high_res=tuple(enc["backbone_fpn"][:2]))
         score = float(iou.max())
-        visible = score > self.occlusion_thresh
+        # occlusion = learned object-score head (reference sam.py
+        # pred_obj_scores: is_obj_appearing = object_score_logits > 0)
+        visible = float(obj_logits.max()) > self.occlusion_thresh
         mask_logits = self._upmask(masks)
         if not visible:
             # occlusion: suppress the mask and do NOT pollute the memory bank
@@ -201,7 +219,8 @@ class SAM2VideoPredictor:
             mask_logits = jnp.full_like(mask_logits, -10.0)
         idx = frame_idx if frame_idx is not None else state.frames_tracked + 1
         if visible:
-            state.recent.append(self._frame_memory(src, mask_logits, idx, False))
+            obj_ptr = self._obj_ptr(sam_tokens, obj_logits)
+            state.recent.append(self._frame_memory(src, mask_logits, obj_ptr, idx, False))
             if len(state.recent) > self.num_maskmem - 1:
                 state.recent.pop(0)
             state.last_visible_ptr = state.recent[-1].obj_ptr
