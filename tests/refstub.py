@@ -126,13 +126,23 @@ def install_stubs():
 
 
 def load_reference_model(yaml_path: str, scale: str, nc: int = 80):
-    """Build the reference torch DetectionModel for a given yaml/scale."""
+    """Build the reference torch DetectionModel for a given yaml/scale.
+
+    The reference's parse_model MUTATES a process-global on yamls with an
+    `activation:` override (tasks.py:965 `Conv.default_act = eval(act)` —
+    e.g. v6 sets ReLU), which would silently corrupt every torch model
+    built afterwards in this process; snapshot and restore it."""
     install_stubs()
     import yaml as _yaml
 
+    from ultralytics.nn.modules import Conv
     from ultralytics.nn.tasks import DetectionModel  # noqa: reference import
 
     with open(yaml_path) as f:
         d = _yaml.safe_load(f)
     d["scale"] = scale
-    return DetectionModel(d, nc=nc, verbose=False)
+    saved_act = Conv.default_act
+    try:
+        return DetectionModel(d, nc=nc, verbose=False)
+    finally:
+        Conv.default_act = saved_act
