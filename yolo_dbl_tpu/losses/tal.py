@@ -34,7 +34,7 @@ def select_candidates_in_gts(anc_points, gt_bboxes, eps=1e-9):
     return (deltas.min(axis=-1) > eps).astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("topk", "num_classes", "alpha", "beta"))
+@functools.partial(jax.jit, static_argnames=("topk", "num_classes", "alpha", "beta", "exact_topk"))
 def task_aligned_assign(
     pd_scores,
     pd_bboxes,
@@ -47,6 +47,7 @@ def task_aligned_assign(
     alpha=0.5,
     beta=6.0,
     eps=1e-9,
+    exact_topk=None,
 ):
     """Assign GTs to anchors by the task-aligned metric score^α · CIoU^β.
 
@@ -87,15 +88,29 @@ def task_aligned_assign(
     align_metric = bbox_scores**alpha * overlaps**beta
 
     # --- top-k per GT ------------------------------------------------------
-    # threshold formulation instead of scattering top-k indices into a
-    # (B, M, k, A) one-hot: an anchor is a candidate iff its metric reaches
-    # the GT's k-th largest metric. Equivalent up to exact float ties, and
-    # keeps the compiled graph O(B·M·A) (the one-hot expansion stalled the
-    # axon TPU compiler at M ≥ 16).
+    # Two formulations:
+    # * exact (reference tal.py select_topk_candidates semantics): scatter
+    #   the top-k INDICES — keeps zero-metric in-GT anchors among the k
+    #   (torch takes exactly k per GT; lax.top_k and torch.topk both break
+    #   ties toward the lower index). Used off-TPU and by parity tests.
+    # * threshold: an anchor is a candidate iff its metric reaches the GT's
+    #   k-th largest metric AND is > eps. Equivalent at convergence (in-GT
+    #   anchors have positive CIoU), differs at random init where CIoU ≤ 0
+    #   candidates are dropped. Kept as the TPU default: the index-scatter
+    #   expansion stalled the axon compiler at M ≥ 16 and this form keeps
+    #   the compiled graph O(B·M·A).
     k = min(topk, a)
-    topk_metrics, _ = jax.lax.top_k(align_metric, k)  # (B, M, k)
-    kth = topk_metrics[..., -1:]  # (B, M, 1)
-    mask_topk = ((align_metric >= kth) & (align_metric > eps)).astype(align_metric.dtype)
+    if exact_topk is None:
+        exact_topk = jax.default_backend() == "cpu"
+    if exact_topk:
+        _, topk_idxs = jax.lax.top_k(align_metric, k)  # (B, M, k)
+        bi = jnp.arange(b)[:, None, None]
+        mi = jnp.arange(m)[None, :, None]
+        mask_topk = jnp.zeros_like(align_metric).at[bi, mi, topk_idxs].set(1.0)
+    else:
+        topk_metrics, _ = jax.lax.top_k(align_metric, k)  # (B, M, k)
+        kth = topk_metrics[..., -1:]  # (B, M, 1)
+        mask_topk = ((align_metric >= kth) & (align_metric > eps)).astype(align_metric.dtype)
     mask_pos = mask_topk * valid  # (B, M, A)
 
     # --- resolve anchors claimed by multiple GTs: keep max overlap ---------
