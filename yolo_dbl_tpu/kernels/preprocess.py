@@ -12,10 +12,19 @@ round-trips.
 Geometry matches data/augment.py:letterbox exactly (gain, round(d-0.1) pad
 rounding, scaleup flag), so the predictor's gain/pad box-rescale stays valid.
 
-Grid: one program per (image, output-row-tile). The source image sits in
-VMEM; each program gathers its 4 bilinear corners from the uint8 source
-(converting only the gathered values) and emits a (TILE_H, W_out, 3) float
-tile.
+Kernel form (round 3): gather-free SEPARABLE MATMULS. The first cut gathered
+the 4 bilinear corners per output pixel with jnp.take — Mosaic's gather
+lowering rejects that shape ("Shape mismatch in input, indices and output",
+reproduced on the v5e 2026-08-18), so the gather kernel only ever ran in
+interpret mode. Bilinear resize is separable, so each program instead
+computes out_tile = RY_tile @ src @ RXᵀ — two dense dots on the MXU with
+2-sparse interpolation-row matrices (the same one-hot-matmul lesson as
+ops/resample.py: TPU gathers are scatter-class, dense dots ride the MXU).
+Channels go PLANAR before the kernel ((B,H,W,3) → (B·3,H,W)): a
+3-wide minor dim would pad to 128 VMEM lanes (42× waste); planar blocks
+tile perfectly. uint8 → f32 conversion happens in VMEM on the src block.
+
+Grid: one program per (image-plane, output-row-tile).
 """
 
 from __future__ import annotations
@@ -26,9 +35,10 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-# sources larger than this stay on the XLA fallback (whole image must fit
-# VMEM alongside the output tile; v5e VMEM is ~16 MB)
+# sources larger than this stay on the XLA fallback (one uint8 channel plane
+# must fit VMEM alongside the interp matrices + output tile; v5e ~16 MB)
 _VMEM_SRC_LIMIT = 8 * 1024 * 1024
+_MAX_SRC_SIDE = 4096  # bounds the (w_out, w_in)/(tile_h, h_in) f32 matrices
 
 
 def letterbox_geometry(h_in: int, w_in: int, h_out: int, w_out: int, scaleup: bool = True):
@@ -44,40 +54,31 @@ def letterbox_geometry(h_in: int, w_in: int, h_out: int, w_out: int, scaleup: bo
     return r, new_h, new_w, top, left
 
 
-def _letterbox_kernel(src_ref, out_ref, *, h_in, w_in, w_out, tile_h,
+def _letterbox_kernel(src_ref, ry_ref, rx_ref, out_ref, *, tile_h, w_out,
                       new_h, new_w, top, left, pad_value):
-    """src_ref: (1, h_in, w_in, 3) uint8 VMEM; out_ref: (1, tile_h, w_out, 3) f32."""
+    """One channel-plane, one output-row tile.
+
+    src_ref: (1, h_in, w_in) uint8; ry_ref: (tile_h, h_in) f32 row-interp
+    slice; rx_ref: (w_out, w_in) f32 column-interp matrix;
+    out_ref: (1, tile_h, w_out) f32.
+    """
     t = pl.program_id(1)
     row0 = t * tile_h
-
+    # u8→f32 in VMEM; Mosaic on this toolchain has no direct u8→f32 cast
+    # (NotImplementedError) but u8→i32→f32 lowers fine
+    srcf = src_ref[0].astype(jnp.int32).astype(jnp.float32)
+    # HIGHEST: default TPU f32 dots run bf16 passes — ~1.3 u8 steps of error
+    # on 0-255 pixel values (measured 5.2e-3 vs the XLA twin on v5e)
+    tmp = jnp.dot(ry_ref[...], srcf, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+    val = jax.lax.dot_general(  # contract w_in: (tile_h, w_in)·(w_out, w_in)ᵀ
+        tmp, rx_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
     rows = jax.lax.broadcasted_iota(jnp.int32, (tile_h, w_out), 0) + row0
     cols = jax.lax.broadcasted_iota(jnp.int32, (tile_h, w_out), 1)
-    # bilinear source coords, cv2.INTER_LINEAR half-pixel convention
-    sy = (rows - top).astype(jnp.float32) * (h_in / new_h) + (0.5 * h_in / new_h - 0.5)
-    sx = (cols - left).astype(jnp.float32) * (w_in / new_w) + (0.5 * w_in / new_w - 0.5)
-    y0 = jnp.floor(sy)
-    x0 = jnp.floor(sx)
-    wy = (sy - y0)[..., None]
-    wx = (sx - x0)[..., None]
-    y0c = jnp.clip(y0, 0, h_in - 1).astype(jnp.int32)
-    y1c = jnp.clip(y0 + 1, 0, h_in - 1).astype(jnp.int32)
-    x0c = jnp.clip(x0, 0, w_in - 1).astype(jnp.int32)
-    x1c = jnp.clip(x0 + 1, 0, w_in - 1).astype(jnp.int32)
     inside = (rows >= top) & (rows < top + new_h) & (cols >= left) & (cols < left + new_w)
-
-    flat = src_ref[0].reshape(h_in * w_in, 3)
-
-    def take(yi, xi):
-        # gather stays uint8; only the gathered values convert to f32
-        return jnp.take(flat, (yi * w_in + xi).reshape(-1), axis=0).reshape(
-            tile_h, w_out, 3).astype(jnp.float32)
-
-    val = (take(y0c, x0c) * (1 - wy) * (1 - wx)
-           + take(y0c, x1c) * (1 - wy) * wx
-           + take(y1c, x0c) * wy * (1 - wx)
-           + take(y1c, x1c) * wy * wx)
-    out = jnp.where(inside[..., None], val, jnp.float32(pad_value))
-    out_ref[0] = out / 255.0
+    out_ref[0] = jnp.where(inside, val, jnp.float32(pad_value)) / 255.0
 
 
 @functools.partial(jax.jit, static_argnames=("out_hw", "tile_h", "pad_value",
@@ -96,8 +97,10 @@ def letterbox_normalize(images_u8, out_hw=(640, 640), tile_h=64, pad_value=114,
     Returns:
         (B, h_out, w_out, 3) float32 in [0, 1], padded with 114/255.
     """
+    import numpy as np
+
     b, h_in, w_in, _ = images_u8.shape
-    if h_in * w_in * 3 > _VMEM_SRC_LIMIT:
+    if h_in * w_in > _VMEM_SRC_LIMIT or max(h_in, w_in) > _MAX_SRC_SIDE:
         return letterbox_normalize_xla(images_u8, out_hw, pad_value, scaleup)
     h_out, w_out = out_hw
     _, new_h, new_w, top, left = letterbox_geometry(h_in, w_in, h_out, w_out, scaleup)
@@ -106,19 +109,32 @@ def letterbox_normalize(images_u8, out_hw=(640, 640), tile_h=64, pad_value=114,
         tile_h //= 2
     n_tiles = h_out // tile_h
 
+    # full-canvas interpolation matrices: pad rows/cols are all-zero (the
+    # in-kernel mask overwrites them with pad_value anyway)
+    ry = np.zeros((h_out, h_in), np.float32)
+    ry[top:top + new_h] = _bilinear_matrix(new_h, h_in)
+    rx = np.zeros((w_out, w_in), np.float32)
+    rx[left:left + new_w] = _bilinear_matrix(new_w, w_in)
+
+    planar = images_u8.transpose(0, 3, 1, 2).reshape(b * 3, h_in, w_in)
     kernel = functools.partial(
         _letterbox_kernel,
-        h_in=h_in, w_in=w_in, w_out=w_out, tile_h=tile_h,
+        tile_h=tile_h, w_out=w_out,
         new_h=new_h, new_w=new_w, top=top, left=left, pad_value=pad_value,
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(b, n_tiles),
-        in_specs=[pl.BlockSpec((1, h_in, w_in, 3), lambda i, t: (i, 0, 0, 0))],
-        out_specs=pl.BlockSpec((1, tile_h, w_out, 3), lambda i, t: (i, t, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, h_out, w_out, 3), jnp.float32),
+        grid=(b * 3, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, h_in, w_in), lambda i, t: (i, 0, 0)),
+            pl.BlockSpec((tile_h, h_in), lambda i, t: (t, 0)),
+            pl.BlockSpec((w_out, w_in), lambda i, t: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile_h, w_out), lambda i, t: (i, t, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * 3, h_out, w_out), jnp.float32),
         interpret=interpret,
-    )(images_u8)
+    )(planar, jnp.asarray(ry), jnp.asarray(rx))
+    return out.reshape(b, 3, h_out, w_out).transpose(0, 2, 3, 1)
 
 
 def device_normalize(img, dtype=jnp.float32):
@@ -161,8 +177,9 @@ def letterbox_normalize_onehot(images_u8, out_hw=(640, 640), pad_value=114,
     ry = jnp.asarray(_bilinear_matrix(new_h, h_in), dtype)
     rx = jnp.asarray(_bilinear_matrix(new_w, w_in), dtype)
     img = images_u8.astype(dtype)
-    resized = jnp.einsum("rh,bhwc->brwc", ry, img)
-    resized = jnp.einsum("sw,brwc->brsc", rx, resized)
+    hi = jax.lax.Precision.HIGHEST  # default TPU f32 dots run bf16 passes
+    resized = jnp.einsum("rh,bhwc->brwc", ry, img, precision=hi)
+    resized = jnp.einsum("sw,brwc->brsc", rx, resized, precision=hi)
     canvas = jnp.full((b, h_out, w_out, 3), jnp.asarray(pad_value, dtype), dtype)
     canvas = jax.lax.dynamic_update_slice(canvas, resized, (0, top, left, 0))
     return canvas / 255.0
