@@ -6,8 +6,16 @@ input and every output is fetched to host. The axon runtime dedupes repeated
 identical computations and its block_until_ready can return before remote
 completion — naive loops overstate throughput by 10-100×.
 
+Protocol (round 3): the timed unit is a lax.scan over a stacked block of K
+distinct batches — ONE device dispatch per trial, all outputs fetched. This
+amortizes the ~25-30 ms/dispatch tunnel marshalling floor the same way the
+trainer's make_train_scan does (and the way any production serving loop
+keeps a queue of work on-device). The old per-dispatch number is still
+printed to stderr for continuity with rounds 1-2 (it was 848 vs 1030 scan
+in the same session — tools/exp_infer_scan.py).
+
 Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline"},
-the MEDIAN of 3 trials (run-to-run tunnel variance was ~7% in round 2 —
+the MEDIAN of 5 trials (run-to-run tunnel variance was ~7% in round 2 —
 VERDICT r2 weak #2). A second, honest uint8-in → boxes-out number (fused
 Pallas letterbox+normalize on device, kernels/preprocess.py) goes to stderr
 and PROFILE.md.
@@ -35,6 +43,16 @@ def _throughput(fn, variables, xs, batch):
     for _, counts_i in outs:
         _ = counts_i.sum().item()
     return batch * len(xs) / (time.perf_counter() - t0)
+
+
+def _throughput_scan(fn_scan, variables, stacked, batch, n):
+    """One timed trial: K batches in one scan dispatch, every output leaf
+    blocked on (counts summed via host fetch to force remote completion)."""
+    t0 = time.perf_counter()
+    dets, counts = fn_scan(variables, stacked)
+    _ = counts.sum().item()
+    jax.block_until_ready(dets)
+    return batch * n / (time.perf_counter() - t0)
 
 
 def main():
@@ -72,22 +90,42 @@ def main():
         )
 
     fn = jax.jit(infer)
+
+    def infer_scan(v, stacked):
+        def body(_, x):
+            return None, infer(v, x)
+
+        _, outs = jax.lax.scan(body, None, stacked)
+        return outs
+
+    fn_scan = jax.jit(infer_scan)
+
     # DISTINCT pre-staged inputs per iteration and a block on every output:
     # identical repeated inputs let async runtimes cache/elide work and
-    # overstate throughput.
-    n_iters = 12  # 12 x 315 MB pre-staged inputs fit HBM alongside activations
+    # overstate throughput. (A scan body consuming the SAME array each
+    # iteration would be loop-invariant-hoisted — PROFILE.md methodology.)
+    n_iters = 8  # 8 x 315 MB pre-staged inputs fit HBM alongside activations
     xs = [jax.block_until_ready(
         jax.random.uniform(jax.random.PRNGKey(i), (batch, imgsz, imgsz, 3), dtype=jnp.bfloat16))
         for i in range(n_iters)]
+    stacked = jax.block_until_ready(jnp.stack(xs))
 
     # warmup + compile
     dets, counts = fn(variables, xs[0])
     jax.block_until_ready((dets, counts))
     assert bool(jnp.isfinite(dets).all()), "benchmark outputs must be finite"
+    jax.block_until_ready(fn_scan(variables, stacked))
+    # one discarded protocol-shaped trial: the first timed host-fetch after
+    # compile measured ~10x slow once (101 vs 1037 img/s) — cold fetch path
+    _ = _throughput_scan(fn_scan, variables, stacked, batch, n_iters)
 
-    trials = [_throughput(fn, variables, xs, batch) for _ in range(3)]
+    trials = [_throughput_scan(fn_scan, variables, stacked, batch, n_iters) for _ in range(5)]
     imgs_per_sec = statistics.median(trials)
-    del xs
+    per_dispatch = [_throughput(fn, variables, xs, batch) for _ in range(3)]
+    print(f"# per-dispatch (rounds 1-2 protocol): "
+          f"{statistics.median(per_dispatch):.2f} img/s/chip "
+          f"(trials {['%.0f' % t for t in per_dispatch]})", file=sys.stderr)
+    del xs, stacked
 
     # honest e2e: uint8 frames in (as a camera/decoder would hand them),
     # fused Pallas letterbox+normalize on device, boxes out
@@ -98,6 +136,10 @@ def main():
             img = letterbox_normalize(u8, (imgsz, imgsz), scaleup=False)
             return infer(v, img.astype(dtype))
 
+        # NOTE: uint8 blocks must not be carried through lax.scan on this
+        # runtime (PROFILE.md finding 4/6: per-iteration u8 slicing runs
+        # ~10x slow), so the u8 e2e number stays on the per-dispatch
+        # protocol.
         fn8 = jax.jit(infer_u8)
         import numpy as np
 
@@ -115,7 +157,7 @@ def main():
         print(f"# e2e uint8 bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
     target_per_chip = 625.0  # BASELINE.json: 5000 img/s on v5e-8 → per chip
-    print(f"# bf16-in trials: {['%.0f' % t for t in trials]}", file=sys.stderr)
+    print(f"# bf16-in scan-dispatch trials: {['%.0f' % t for t in trials]}", file=sys.stderr)
     print(
         json.dumps(
             {
