@@ -133,6 +133,7 @@ class DataLoader:
         self.prefetch = prefetch
         self.workers = int(workers)
         self._pool = None
+        self._native = None  # native decode pool: None = untried, False = off
         self._epoch = 0
 
     def close_mosaic(self):
@@ -140,11 +141,14 @@ class DataLoader:
             self.transforms.close_mosaic()
 
     def close(self):
-        """Shut down the decode worker pool. Idempotent; the loader remains
-        usable (a later iteration lazily recreates the pool)."""
+        """Shut down the decode worker pools. Idempotent; the loader remains
+        usable (a later iteration lazily recreates the pools)."""
         if self._pool is not None:
             self._pool.shutdown(wait=False)
             self._pool = None
+        if self._native not in (None, False):
+            self._native.close()
+            self._native = None
 
     def __del__(self):
         try:
@@ -162,6 +166,80 @@ class DataLoader:
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def _native_val_batch(self, idxs):
+        """Eval-path fast lane: decode + letterbox + collate the whole batch
+        in the native C++ worker pool (native/loader.py), writing straight
+        into the (B, S, S, 3) uint8 buffer the jitted step consumes. Detect
+        task only (side-channel tasks keep the Python path). Semantics match
+        ValTransforms: combined gain = min(S/h0, S/w0) with scale-up (the
+        two-stage load_resized→letterbox composition), centered 114 padding,
+        boxes mapped to letterboxed pixel space. Returns None to fall back.
+        """
+        import os
+
+        if (self.augment or self.task != "detect"
+                or os.environ.get("YOLO_DBL_NATIVE_LOADER", "1") == "0"):
+            return None
+        ds = self.dataset
+        if getattr(ds, "_cache", None) is not None or not hasattr(ds, "im_files"):
+            return None  # RAM-cached datasets: decode happens once anyway
+        if self._native is None:
+            try:
+                from ..native.loader import NativePool
+
+                self._native = NativePool(self.workers if self.workers > 1
+                                          else (os.cpu_count() or 4))
+            except Exception:
+                self._native = False
+        if self._native is False:
+            return None
+        paths = [ds.im_files[int(j)] for j in idxs]
+        img, gains, pads, orig_hw, status = self._native.decode_letterbox_batch(
+            paths, self.imgsz, scaleup=True)
+        b = len(idxs)
+        gt_boxes = np.zeros((b, self.max_gt, 4), np.float32)
+        gt_cls = np.zeros((b, self.max_gt), np.int32)
+        gt_mask = np.zeros((b, self.max_gt), np.float32)
+        labels_meta = []
+        for i, j in enumerate(idxs):
+            if status[i] != 0:
+                # unreadable/undecodable (or non-JPEG/PNG) file: recover this
+                # slot through the Python transform
+                im_i, lab = self.transforms(ds, int(j), None)
+                img[i] = im_i
+                boxes, cls = lab["boxes"], lab["cls"]
+                labels_meta.append(lab)
+            else:
+                lab0 = ds.labels[int(j)]
+                h0, w0 = int(orig_hw[i, 0]), int(orig_hw[i, 1])
+                xywhn = lab0["xywhn"][:, :4]
+                g, (px, py) = float(gains[i]), pads[i]
+                if len(xywhn):
+                    cx, cy = xywhn[:, 0] * w0 * g + px, xywhn[:, 1] * h0 * g + py
+                    bw, bh = xywhn[:, 2] * w0 * g, xywhn[:, 3] * h0 * g
+                    boxes = np.stack(
+                        [cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], 1
+                    ).astype(np.float32)
+                else:
+                    boxes = np.zeros((0, 4), np.float32)
+                cls = lab0["cls"].copy()
+                labels_meta.append({"boxes": boxes, "cls": cls,
+                                    "orig_shape": (h0, w0),
+                                    "ratio_pad": (g, (float(px), float(py)))})
+            n = min(len(boxes), self.max_gt)
+            if n:
+                bx = boxes[:n]
+                x1, y1, x2, y2 = bx[:, 0], bx[:, 1], bx[:, 2], bx[:, 3]
+                gt_boxes[i, :n] = np.stack(
+                    [(x1 + x2) / 2, (y1 + y2) / 2, (x2 - x1), (y2 - y1)], 1
+                ) / self.imgsz
+                gt_cls[i, :n] = cls[:n]
+                gt_mask[i, :n] = 1.0
+        batch = {"img": img, "gt_boxes": gt_boxes, "gt_cls": gt_cls,
+                 "gt_mask": gt_mask, "indices": np.asarray(idxs),
+                 "labels": labels_meta}
+        return batch
+
     def _make_batches(self):
         rng = np.random.default_rng(self.seed + self._epoch)
         order = rng.permutation(len(self.dataset)) if self.shuffle else np.arange(len(self.dataset))
@@ -170,6 +248,10 @@ class DataLoader:
             idxs = order[bi * self.batch_size : (bi + 1) * self.batch_size]
             if len(idxs) == 0:
                 break
+            nb_batch = self._native_val_batch(idxs)
+            if nb_batch is not None:
+                yield nb_batch
+                continue
             if self.workers > 1:
                 if self._pool is None:
                     from concurrent.futures import ThreadPoolExecutor

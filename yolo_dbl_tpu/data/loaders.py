@@ -40,9 +40,16 @@ class LoadImagesAndVideos:
 
         for f in self.files:
             if f.suffix.lower() in IMG_EXTS:
-                im = cv2.imread(str(f))
-                if im is not None:
-                    yield str(f), cv2.cvtColor(im, cv2.COLOR_BGR2RGB)
+                # native C++ decode first (JPEG/PNG, RGB out — native/loader);
+                # cv2 covers the remaining formats and toolchain-less hosts
+                from ..native import loader as _native
+
+                im_rgb = _native.decode_file(f) if _native.is_available() else None
+                if im_rgb is None:
+                    im = cv2.imread(str(f))
+                    im_rgb = cv2.cvtColor(im, cv2.COLOR_BGR2RGB) if im is not None else None
+                if im_rgb is not None:
+                    yield str(f), im_rgb
             else:
                 cap = cv2.VideoCapture(str(f))
                 idx = 0
