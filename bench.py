@@ -104,16 +104,15 @@ def main():
     # identical repeated inputs let async runtimes cache/elide work and
     # overstate throughput. (A scan body consuming the SAME array each
     # iteration would be loop-invariant-hoisted — PROFILE.md methodology.)
-    n_iters = 8  # 8 x 315 MB pre-staged inputs fit HBM alongside activations
-    xs = [jax.block_until_ready(
-        jax.random.uniform(jax.random.PRNGKey(i), (batch, imgsz, imgsz, 3), dtype=jnp.bfloat16))
-        for i in range(n_iters)]
-    stacked = jax.block_until_ready(jnp.stack(xs))
+    # K sweep on the real chip (tools/exp_scan_sweep.py): K8 1038, K12 1062,
+    # K16 compile/HBM-squeezed (5 GB staged inputs). One (K, B, ...) random
+    # block = 3.8 GB; it is freed before the per-dispatch phase stages its
+    # own inputs so the two protocols never co-resident (7.6 GB thrashed).
+    n_iters = 12
+    stacked = jax.block_until_ready(jax.random.uniform(
+        jax.random.PRNGKey(0), (n_iters, batch, imgsz, imgsz, 3), dtype=jnp.bfloat16))
 
     # warmup + compile
-    dets, counts = fn(variables, xs[0])
-    jax.block_until_ready((dets, counts))
-    assert bool(jnp.isfinite(dets).all()), "benchmark outputs must be finite"
     jax.block_until_ready(fn_scan(variables, stacked))
     # one discarded protocol-shaped trial: the first timed host-fetch after
     # compile measured ~10x slow once (101 vs 1037 img/s) — cold fetch path
@@ -121,11 +120,19 @@ def main():
 
     trials = [_throughput_scan(fn_scan, variables, stacked, batch, n_iters) for _ in range(5)]
     imgs_per_sec = statistics.median(trials)
+    del stacked
+
+    xs = [jax.block_until_ready(
+        jax.random.uniform(jax.random.PRNGKey(i), (batch, imgsz, imgsz, 3), dtype=jnp.bfloat16))
+        for i in range(8)]
+    dets, counts = fn(variables, xs[0])
+    jax.block_until_ready((dets, counts))
+    assert bool(jnp.isfinite(dets).all()), "benchmark outputs must be finite"
     per_dispatch = [_throughput(fn, variables, xs, batch) for _ in range(3)]
     print(f"# per-dispatch (rounds 1-2 protocol): "
           f"{statistics.median(per_dispatch):.2f} img/s/chip "
           f"(trials {['%.0f' % t for t in per_dispatch]})", file=sys.stderr)
-    del xs, stacked
+    del xs
 
     # honest e2e: uint8 frames in (as a camera/decoder would hand them),
     # fused Pallas letterbox+normalize on device, boxes out
