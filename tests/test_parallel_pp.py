@@ -87,6 +87,41 @@ def test_pipeline_stage_of_grouped_blocks():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
 
 
+def test_sam_encoder_pipelined_matches_sequential():
+    """encode_image_pipelined == ImageEncoderViT.apply on a tiny SAM-pattern
+    encoder (depth 4, [win, global] x 2) over a 2-stage pipeline mesh."""
+    n_pipe = 2
+    if len(jax.devices("cpu")) < 2 * n_pipe:
+        pytest.skip("needs 4 virtual devices")
+    from yolo_dbl_tpu.models.sam import ImageEncoderViT
+    from yolo_dbl_tpu.models.sam_pp import encode_image_pipelined
+
+    mesh = _mesh(n_pipe)
+    enc = ImageEncoderViT(img_size=64, patch_size=16, embed_dim=32, depth=4,
+                          num_heads=4, window_size=2,
+                          global_attn_indexes=(1, 3), out_chans=16)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 64, 64, 3))
+    v = enc.init(jax.random.PRNGKey(1), x)
+    # This jax CPU build runs single-device matmuls with bf16-operand
+    # fast-math by DEFAULT precision, while multi-device/shard_map programs
+    # compute exact f32 — pin both sides to `highest` so the comparison
+    # measures the executor, not the backend's fast path.
+    with jax.default_matmul_precision("highest"):
+        want = jax.jit(enc.apply)(v, x)
+        got = encode_image_pipelined(enc, v, x, mesh, n_micro=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5,
+                               atol=2e-5)
+
+    # non-periodic pattern is rejected, not silently mis-computed
+    from yolo_dbl_tpu.models.sam_pp import _stage_pattern
+
+    bad = ImageEncoderViT(img_size=64, patch_size=16, embed_dim=32, depth=4,
+                          num_heads=4, window_size=2,
+                          global_attn_indexes=(0, 3), out_chans=16)
+    with pytest.raises(ValueError):
+        _stage_pattern(bad, 2)
+
+
 def test_pipeline_jits_and_grads():
     """The executor lives under jit and differentiates (training viability:
     forward value parity is enough to pin; grad just must compile+run)."""
