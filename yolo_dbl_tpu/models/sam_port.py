@@ -282,7 +282,7 @@ def port_sam2_state_dict(state_dict: Mapping[str, Any], variables: Dict[str, Any
     if strict and unmapped:
         raise ValueError(f"{len(unmapped)} SAM2 keys could not be ported: {unmapped[:20]}")
     if unmapped:
-        from ..utils import LOGGER
+        from ..utils.settings import LOGGER
 
         LOGGER.warning("port_sam2_state_dict: %d keys not ported: %s", len(unmapped), unmapped[:10])
     return out
@@ -358,7 +358,7 @@ def port_tinyvit_state_dict(state_dict: Mapping[str, Any], variables: Dict[str, 
     if strict and unmapped:
         raise ValueError(f"{len(unmapped)} TinyViT keys could not be ported: {unmapped[:20]}")
     if unmapped:
-        from ..utils import LOGGER
+        from ..utils.settings import LOGGER
 
         LOGGER.warning("port_tinyvit_state_dict: %d keys not ported: %s",
                        len(unmapped), unmapped[:10])
@@ -463,7 +463,7 @@ def port_sam_state_dict(state_dict: Mapping[str, Any], variables: Dict[str, Any]
     if strict and unmapped:
         raise ValueError(f"{len(unmapped)} SAM keys could not be ported: {unmapped[:20]}")
     if unmapped:
-        from ..utils import LOGGER
+        from ..utils.settings import LOGGER
 
         LOGGER.warning("port_sam_state_dict: %d keys not ported: %s", len(unmapped), unmapped[:10])
     return out
