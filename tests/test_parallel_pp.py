@@ -122,6 +122,33 @@ def test_sam_encoder_pipelined_matches_sequential():
         _stage_pattern(bad, 2)
 
 
+def test_rtdetr_decoder_pipelined_matches_sequential():
+    """decode_pipelined == RTDETRDecoder.apply's last-layer outputs on a tiny
+    decoder (4 layers, 2 stages x 2 layers) — exercises PYTREE activations
+    {tgt, refer, value pyramid} through the executor."""
+    n_pipe = 2
+    if len(jax.devices("cpu")) < 2 * n_pipe:
+        pytest.skip("needs 4 virtual devices")
+    from yolo_dbl_tpu.models.rtdetr import RTDETRDecoder
+    from yolo_dbl_tpu.models.rtdetr_pp import decode_pipelined
+
+    mesh = _mesh(n_pipe)
+    dec = RTDETRDecoder(nc=5, hd=32, nq=16, ndl=4, nh=4, ndp=2)
+    feats = [jax.random.normal(jax.random.PRNGKey(i), (4, s, s, 16))
+             for i, s in enumerate((8, 4))]
+    v = dec.init(jax.random.PRNGKey(9), feats)
+    with jax.default_matmul_precision("highest"):
+        boxes_seq, scores_seq, _, _ = jax.jit(dec.apply)(v, feats)
+        boxes_pp, scores_pp = decode_pipelined(dec, v, feats, mesh, n_micro=4)
+    np.testing.assert_allclose(np.asarray(boxes_pp),
+                               np.asarray(boxes_seq[:, -1]), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(scores_pp),
+                               np.asarray(scores_seq[:, -1]), rtol=2e-5, atol=2e-5)
+
+    with pytest.raises(ValueError):
+        decode_pipelined(RTDETRDecoder(ndl=3), v, feats, mesh)
+
+
 def test_pipeline_jits_and_grads():
     """The executor lives under jit and differentiates (training viability:
     forward value parity is enough to pin; grad just must compile+run)."""
