@@ -135,31 +135,41 @@ def main():
     del xs
 
     # honest e2e: uint8 frames in (as a camera/decoder would hand them),
-    # fused Pallas letterbox+normalize on device, boxes out
+    # fused Pallas letterbox+normalize on device, boxes out. u8 blocks must
+    # be neither carried through nor sliced inside lax.scan (PROFILE.md
+    # findings 4/6), so the scan protocol letterboxes the WHOLE (K*B,...)
+    # u8 block in ONE Pallas op (bf16 out — out_dtype) and scans over the
+    # float block: 953 vs 785 img/s per-dispatch (tools/exp_u8_scan.py,
+    # 2026-08-18 real chip).
     try:
         from yolo_dbl_tpu.kernels.preprocess import letterbox_normalize
 
-        def infer_u8(v, u8):
-            img = letterbox_normalize(u8, (imgsz, imgsz), scaleup=False)
-            return infer(v, img.astype(dtype))
+        def infer_u8_scan(v, u8block):
+            k, b2 = u8block.shape[:2]
+            flat = u8block.reshape(k * b2, *u8block.shape[2:])
+            img = letterbox_normalize(flat, (imgsz, imgsz), scaleup=False,
+                                      out_dtype=dtype)
+            img = img.reshape(k, b2, imgsz, imgsz, 3)
 
-        # NOTE: uint8 blocks must not be carried through lax.scan on this
-        # runtime (PROFILE.md finding 4/6: per-iteration u8 slicing runs
-        # ~10x slow), so the u8 e2e number stays on the per-dispatch
-        # protocol.
-        fn8 = jax.jit(infer_u8)
+            def body(_, x):
+                return None, infer(v, x)
+
+            return jax.lax.scan(body, None, img)[1]
+
+        fn8 = jax.jit(infer_u8_scan)
         import numpy as np
 
         rng = np.random.default_rng(0)
-        xs8 = [jax.block_until_ready(jnp.asarray(
-            rng.integers(0, 255, (batch, 512, 768, 3), dtype=np.uint8)))
-            for _ in range(8)]
-        d8, c8 = fn8(variables, xs8[0])
-        jax.block_until_ready((d8, c8))
-        e2e_trials = [_throughput(fn8, variables, xs8, batch) for _ in range(3)]
-        print(f"# e2e uint8(512x768)->letterbox(Pallas)->boxes: "
+        block8 = jax.block_until_ready(jnp.asarray(
+            rng.integers(0, 255, (n_iters, batch, 512, 768, 3), dtype=np.uint8)))
+        jax.block_until_ready(fn8(variables, block8))
+        _ = _throughput_scan(fn8, variables, block8, batch, n_iters)  # cold fetch
+        e2e_trials = [_throughput_scan(fn8, variables, block8, batch, n_iters)
+                      for _ in range(3)]
+        print(f"# e2e uint8(512x768)->letterbox(Pallas)->boxes, scan K={n_iters}: "
               f"{statistics.median(e2e_trials):.2f} img/s/chip "
               f"(trials {['%.0f' % t for t in e2e_trials]})", file=sys.stderr)
+        del block8
     except Exception as e:  # noqa: BLE001 — e2e extra must never break the metric
         print(f"# e2e uint8 bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
 

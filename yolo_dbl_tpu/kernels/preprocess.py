@@ -78,13 +78,13 @@ def _letterbox_kernel(src_ref, ry_ref, rx_ref, out_ref, *, tile_h, w_out,
     rows = jax.lax.broadcasted_iota(jnp.int32, (tile_h, w_out), 0) + row0
     cols = jax.lax.broadcasted_iota(jnp.int32, (tile_h, w_out), 1)
     inside = (rows >= top) & (rows < top + new_h) & (cols >= left) & (cols < left + new_w)
-    out_ref[0] = jnp.where(inside, val, jnp.float32(pad_value)) / 255.0
+    out_ref[0] = (jnp.where(inside, val, jnp.float32(pad_value)) / 255.0).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("out_hw", "tile_h", "pad_value",
-                                             "scaleup", "interpret"))
+                                             "scaleup", "interpret", "out_dtype"))
 def letterbox_normalize(images_u8, out_hw=(640, 640), tile_h=64, pad_value=114,
-                        scaleup=False, interpret=False):
+                        scaleup=False, interpret=False, out_dtype=jnp.float32):
     """Fused device preprocessing (Pallas; XLA fallback for oversized sources).
 
     Args:
@@ -95,13 +95,16 @@ def letterbox_normalize(images_u8, out_hw=(640, 640), tile_h=64, pad_value=114,
             the reference's LetterBox(scaleup=False) eval path).
 
     Returns:
-        (B, h_out, w_out, 3) float32 in [0, 1], padded with 114/255.
+        (B, h_out, w_out, 3) out_dtype in [0, 1], padded with 114/255.
+        (out_dtype=bfloat16 halves the output HBM footprint — used by the
+        scanned u8 e2e protocol where K batches are letterboxed in one op.)
     """
     import numpy as np
 
     b, h_in, w_in, _ = images_u8.shape
     if h_in * w_in > _VMEM_SRC_LIMIT or max(h_in, w_in) > _MAX_SRC_SIDE:
-        return letterbox_normalize_xla(images_u8, out_hw, pad_value, scaleup)
+        return letterbox_normalize_xla(images_u8, out_hw, pad_value,
+                                       scaleup).astype(out_dtype)
     h_out, w_out = out_hw
     _, new_h, new_w, top, left = letterbox_geometry(h_in, w_in, h_out, w_out, scaleup)
     tile_h = min(tile_h, h_out)
@@ -131,7 +134,7 @@ def letterbox_normalize(images_u8, out_hw=(640, 640), tile_h=64, pad_value=114,
             pl.BlockSpec((w_out, w_in), lambda i, t: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, tile_h, w_out), lambda i, t: (i, t, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * 3, h_out, w_out), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b * 3, h_out, w_out), out_dtype),
         interpret=interpret,
     )(planar, jnp.asarray(ry), jnp.asarray(rx))
     return out.reshape(b, 3, h_out, w_out).transpose(0, 2, 3, 1)
