@@ -45,6 +45,17 @@ def _suppress(boxes, scores, iou_thres):
     # [j, i] True iff j earlier (higher score) than i and overlapping
     earlier = jnp.tril(jnp.ones((k, k), dtype=bool), k=-1).T
     overlap = (iou > iou_thres) & earlier
+    # bf16 0/1 copy with f32 accumulation: the per-round reductions below
+    # become one MXU matvec pair instead of two K*K boolean sweeps, so the
+    # big matrix is streamed from HBM once per round. Products are 0/1 and
+    # f32 accumulation is exact to 2^24, so >0.5 is an exact "any".
+    overlap_t = overlap.T.astype(jnp.bfloat16)  # [i, j]: earlier j overlaps i
+
+    # Below-threshold candidates are decided from the start: they sort after
+    # every real candidate (scores are -inf) so nothing downstream of them
+    # waits on a kept/dead verdict, and the final mask strips them anyway.
+    # Seeding them dead removes their suppression chains from the fixpoint.
+    junk = scores <= -jnp.inf
 
     def cond(state):
         kept, dead = state
@@ -53,14 +64,19 @@ def _suppress(boxes, scores, iou_thres):
     def body(state):
         kept, dead = state
         undecided = ~(kept | dead)
-        has_kept_earlier = jnp.any(overlap & kept[:, None], axis=0)
-        has_undec_earlier = jnp.any(overlap & undecided[:, None], axis=0)
+        # (K, 2) @ matvec: col 0 = #kept earlier overlaps, col 1 = #undecided
+        stacked = jnp.stack([kept, undecided], axis=-1).astype(jnp.bfloat16)
+        counts = jax.lax.dot(
+            overlap_t, stacked, precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32)
+        has_kept_earlier = counts[:, 0] > 0.5
+        has_undec_earlier = counts[:, 1] > 0.5
         new_dead = undecided & has_kept_earlier
         new_kept = undecided & ~has_kept_earlier & ~has_undec_earlier
         return kept | new_kept, dead | new_dead
 
     kept, _ = jax.lax.while_loop(
-        cond, body, (jnp.zeros((k,), dtype=bool), jnp.zeros((k,), dtype=bool))
+        cond, body, (jnp.zeros((k,), dtype=bool), junk)
     )
     return kept & (scores > -jnp.inf)
 
