@@ -167,6 +167,61 @@ def test_nms_matches_torchvision():
     np.testing.assert_allclose(dets[:, :4], ref_boxes, atol=1e-4)
 
 
+def _greedy_nms_numpy(xyxy, scores, iou_thres):
+    """Sequential greedy NMS — the exact semantics torchvision.ops.nms
+    implements (keep highest score, drop overlaps, repeat)."""
+    order = np.argsort(-scores, kind="stable")
+    keep, alive = [], np.ones(len(scores), dtype=bool)
+    for i in order:
+        if not alive[i]:
+            continue
+        keep.append(i)
+        x1 = np.maximum(xyxy[i, 0], xyxy[:, 0])
+        y1 = np.maximum(xyxy[i, 1], xyxy[:, 1])
+        x2 = np.minimum(xyxy[i, 2], xyxy[:, 2])
+        y2 = np.minimum(xyxy[i, 3], xyxy[:, 3])
+        inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+        area = lambda b: (b[..., 2] - b[..., 0]) * (b[..., 3] - b[..., 1])
+        iou = inter / (area(xyxy[i]) + area(xyxy) - inter + 1e-12)
+        alive &= iou <= iou_thres
+    return np.array(keep, dtype=np.int64)
+
+
+def test_nms_matches_sequential_greedy_dense_chains():
+    """Stress the fixpoint rewrite (junk rows seeded dead + MXU matvec,
+    ops/nms.py::_suppress): 800 candidates in tight clusters so greedy
+    suppression chains run deep, ~70% below conf_thres so the junk-seeding
+    shortcut is actually load-bearing. Must equal sequential greedy NMS
+    (torchvision semantics, numpy oracle) exactly."""
+    rng = np.random.default_rng(11)
+    n = 800
+    # 8 cluster centers; every box jitters around one -> heavy overlap
+    centers = rng.uniform(100, 540, size=(8, 2))
+    cxy = centers[rng.integers(0, 8, size=n)] + rng.normal(0, 12, size=(n, 2))
+    wh = rng.uniform(30, 60, size=(n, 2))
+    conf = rng.uniform(0, 1, size=(n, 1)) * rng.uniform(0, 0.5, size=(n, 1)) * 2
+    cls = rng.integers(0, 3, size=n)
+    scores = np.zeros((n, 3), dtype=np.float32)
+    scores[np.arange(n), cls] = conf[:, 0]
+    pred = np.concatenate([cxy, wh, scores], axis=-1).astype(np.float32)
+
+    dets, num = non_max_suppression(
+        jnp.asarray(pred)[None], conf_thres=0.3, iou_thres=0.45,
+        max_det=300, pre_nms_topk=1024, in_format="a_no",
+    )
+    dets = np.asarray(dets[0][: int(num[0])])
+
+    xyxy = np.asarray(xywh2xyxy(jnp.asarray(pred[:, :4])))
+    mask = conf[:, 0] > 0.3
+    assert mask.sum() < 0.5 * n  # the junk-seeding path is exercised
+    # class-offset trick makes per-class NMS a single agnostic pass
+    offset = cls[mask, None].astype(np.float32) * 7680.0
+    keep = _greedy_nms_numpy(xyxy[mask] + offset, conf[mask, 0], 0.45)
+    assert len(dets) == len(keep)
+    np.testing.assert_allclose(dets[:, 4], conf[mask, 0][keep], atol=1e-6)
+    np.testing.assert_allclose(dets[:, :4], xyxy[mask][keep], atol=1e-4)
+
+
 def test_deform_conv_zero_offset_equals_conv():
     """With zero offsets and unit mask, deform_conv2d == plain convolution."""
     from yolo_dbl_tpu.ops.deform_conv import deform_conv2d
