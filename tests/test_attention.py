@@ -236,3 +236,27 @@ def test_axial_dynamic_gates_position_terms():
     vw = wopos.init(jax.random.PRNGKey(1), x)
     flat = jax.tree_util.tree_leaves_with_path(vw["params"])
     assert not any("relative" in jax.tree_util.keystr(kp) for kp, _ in flat)
+
+
+def test_reference_yaml_spellings_bam_bot():
+    """The two *_YOLO wrapper spellings that are YAML-/tasks.py-visible in the
+    reference (modules_attention/BAM.py:51, BoTNetAttention.py:245; used by
+    cfg/models/v13/yolov13_v3edit5_attn.yaml) resolve through the registry to
+    the same modules as their base names."""
+    from yolo_dbl_tpu.nn.tasks import DetectionModel
+
+    cfg = {
+        "nc": 3,
+        "backbone": [
+            [-1, 1, "Conv", [16, 3, 2]],
+            [-1, 1, "Conv", [32, 3, 2]],
+            [-1, 1, "BAM_YOLO", [16]],
+            [-1, 1, "BoTAttention_YOLO", [32, 2, 16]],
+            [-1, 1, "Conv", [32, 3, 2]],
+        ],
+        "head": [[[-1], 1, "Detect", ["nc"]]],
+    }
+    m = DetectionModel(cfg, nc=3)
+    v = m.init(jax.random.PRNGKey(0), imgsz=32)
+    out = m.predict(v, jnp.zeros((1, 32, 32, 3)))
+    assert bool(jnp.isfinite(out).all())

@@ -331,3 +331,39 @@ def test_albumentations_extras_shapes_and_determinism():
     # gray branch forces channel equality when applied alone
     g = albumentations_extras(img.copy(), np.random.default_rng(3), p=1.0)
     assert g.shape == (64, 64, 3)
+
+
+def test_label_cache_roundtrip_and_invalidation(tmp_path):
+    """Persistent .cache (reference data/dataset.py:66): a second open skips
+    parsing; mutating a label file invalidates the cache; a corrupt cache
+    falls back to a full re-scan."""
+    from unittest import mock
+
+    root = make_shapes_dataset(tmp_path / "ds", n_train=4, n_val=2, imgsz=96)
+    ds1 = YOLODataset(root, split="train", imgsz=96)
+    cache = ds1._cache_path()
+    assert cache.is_file()
+
+    # second open: labels come from the cache, _read_label never called
+    with mock.patch.object(YOLODataset, "_read_label",
+                           side_effect=AssertionError("cache miss")) as m:
+        ds2 = YOLODataset(root, split="train", imgsz=96)
+    assert m.call_count == 0
+    for a, b in zip(ds1.labels, ds2.labels):
+        assert np.array_equal(a["xywhn"], b["xywhn"])
+        assert np.array_equal(a["cls"], b["cls"])
+
+    # mutate one label file -> hash changes -> full re-parse, new content seen
+    lp = ds1._label_path(ds1.im_files[0])
+    lp.write_text("2 0.500000 0.500000 0.250000 0.250000\n")
+    import os
+    os.utime(lp, ns=(os.stat(lp).st_atime_ns, os.stat(lp).st_mtime_ns + 10**9))
+    ds3 = YOLODataset(root, split="train", imgsz=96)
+    assert ds3.labels[0]["cls"].tolist() == [2]
+    assert np.allclose(ds3.labels[0]["xywhn"][0], [0.5, 0.5, 0.25, 0.25])
+
+    # corrupt cache -> graceful re-scan
+    ds3._cache_path().write_bytes(b"not a pickle")
+    ds4 = YOLODataset(root, split="train", imgsz=96)
+    assert len(ds4.labels) == 4
+    assert ds4.labels[0]["cls"].tolist() == [2]

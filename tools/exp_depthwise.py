@@ -43,31 +43,43 @@ def dw_grouped(x, w, d=1):
 
 
 def dw_shift(x, w, d=1):
-    """Same math as k*k shifted elementwise multiply-adds."""
+    """Same math as k*k shifted elementwise multiply-adds.
+
+    Accumulates in f32 (matching the grouped conv's on-MXU f32 accumulation)
+    and casts back to the input dtype at the end, so parity with dw_grouped
+    holds to bf16 output rounding rather than k*k compounded bf16 adds.
+    """
     k = w.shape[0]
     p = d * (k - 1) // 2
     h, wd = x.shape[1], x.shape[2]
     xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
-    out = jnp.zeros_like(x)
+    out = jnp.zeros(x.shape, jnp.float32)
     for i in range(k):
         for j in range(k):
-            out = out + xp[:, i * d:i * d + h, j * d:j * d + wd, :] * w[i, j, 0]
-    return out
+            tap = xp[:, i * d:i * d + h, j * d:j * d + wd, :] * w[i, j, 0]
+            out = out + tap.astype(jnp.float32)
+    return out.astype(x.dtype)
 
 
-def time_vg(name, fn, args, reps=6):
-    """Slope-timed scan over distinct stacked inputs of value_and_grad."""
+R_LO, R_HI = 2, 10
+
+
+def time_vg(name, fn, args):
+    """Slope-timed grad step: scan over R_LO vs R_HI distinct stacked inputs,
+    report (T_hi - T_lo)/(R_HI - R_LO) — the exp_slope.py idiom, which cancels
+    the fixed per-call axon dispatch floor instead of averaging it in."""
     def loss(a):
         return jnp.sum(fn(*a).astype(jnp.float32))
 
     g = jax.grad(loss)
 
-    keys = [jax.random.PRNGKey(i) for i in range(reps)]
-    xs = jax.tree_util.tree_map(
+    keys = [jax.random.PRNGKey(i) for i in range(R_HI)]
+    xs_hi = jax.tree_util.tree_map(
         lambda *ls: jnp.stack(ls),
         *[tuple(jax.random.normal(jax.random.fold_in(k, n), a.shape, DT)
                 for n, a in enumerate(args)) for k in keys])
-    xs = jax.block_until_ready(xs)
+    xs_hi = jax.block_until_ready(xs_hi)
+    xs_lo = jax.tree_util.tree_map(lambda l: l[:R_LO], xs_hi)
 
     def many(xs):
         def body(acc, a):
@@ -78,18 +90,20 @@ def time_vg(name, fn, args, reps=6):
         return acc
 
     jit = jax.jit(many)
-    jit(xs).item()  # compile
 
-    def window(n):
-        t0 = time.perf_counter()
-        for _ in range(n):
+    def best_of(xs, tries=6):
+        jit(xs).item()  # compile / warm
+        best = float("inf")
+        for _ in range(tries):
+            t0 = time.perf_counter()
             jit(xs).item()
-        return (time.perf_counter() - t0) / n
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    w2 = window(2)
-    w4 = window(4)
-    ms = (w4 * 4 - w2 * 2) / 2 / reps * 1e3  # slope per rep
-    print(f"{name:42s} {ms:8.2f} ms")
+    t_lo = best_of(xs_lo)
+    t_hi = best_of(xs_hi)
+    ms = (t_hi - t_lo) / (R_HI - R_LO) * 1e3  # slope per rep
+    print(f"{name:42s} {ms:8.2f} ms", flush=True)
     return ms
 
 
@@ -117,11 +131,13 @@ def main():
     for name, k, d, shape in cases:
         x = mk(shape)
         w = mk((k, k, 1, shape[-1]))
-        # parity first
-        ya = dw_grouped(x, w, d)
-        yb = dw_shift(x, w, d)
-        err = jnp.max(jnp.abs(ya.astype(jnp.float32) - yb.astype(jnp.float32))).item()
-        assert err < 1e-1, (name, err)
+        # parity first: relative to the output scale (both paths accumulate
+        # in f32; only bf16 output rounding should remain)
+        ya = dw_grouped(x, w, d).astype(jnp.float32)
+        yb = dw_shift(x, w, d).astype(jnp.float32)
+        scale = jnp.max(jnp.abs(ya)).item() or 1.0
+        err = jnp.max(jnp.abs(ya - yb)).item() / scale
+        assert err < 2e-2, (name, err)
         a = time_vg(f"{name} grouped", lambda x, w, d=d: dw_grouped(x, w, d), (x, w))
         s = time_vg(f"{name} shift  ", lambda x, w, d=d: dw_shift(x, w, d), (x, w))
         print(f"{name}: grouped {a:.2f} ms vs shift {s:.2f} ms  "

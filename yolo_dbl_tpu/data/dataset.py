@@ -5,13 +5,19 @@ Equivalent of the reference's two dataset readers: global_utils/dataset.py:18
 YOLODataset with label caching). Format: `images/*.jpg` + `labels/*.txt`
 with lines `cls cx cy w h` normalized to [0, 1].
 
-Labels are loaded once into memory (the tea-disease-scale datasets the
-reference targets fit trivially); images are decoded per access with an
-optional RAM cache like the reference's cache='ram' (data/base.py:93).
+Labels are parsed once and persisted to a hash-validated `.cache` file next
+to the labels directory (reference data/dataset.py:66 `cache_labels` /
+data/utils.py:load_dataset_cache_file): reopening the dataset skips the
+per-file parse when the (paths, sizes, mtimes) hash matches; a stale,
+corrupt, or version-mismatched cache falls back to a full re-scan. Images
+are decoded per access with an optional RAM cache like the reference's
+cache='ram' (data/base.py:93).
 """
 
 from __future__ import annotations
 
+import hashlib
+import pickle
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 
@@ -19,6 +25,9 @@ import cv2
 import numpy as np
 
 IMG_EXTS = {".jpg", ".jpeg", ".png", ".bmp", ".webp", ".tif", ".tiff"}
+
+# bump when the label dict layout changes (mirrors reference DATASET_CACHE_VERSION)
+CACHE_VERSION = "yolo_dbl_tpu.cache.v1"
 
 
 class YOLODataset:
@@ -50,10 +59,60 @@ class YOLODataset:
         )
         if not self.im_files:
             raise FileNotFoundError(f"no images found in {img_dir}")
-        self.labels = [self._read_label(p) for p in self.im_files]
+        self.labels = self._load_labels()
         self.imgsz = imgsz
         self.names = names or {}
         self._cache: Dict[int, np.ndarray] = {} if cache_images else None
+
+    # ---- persistent label cache (reference data/dataset.py:66) ----
+
+    def _cache_path(self) -> Path:
+        """<labels-dir>/<task>.cache beside the label files (reference puts
+        it at `Path(label_files[0]).parent.with_suffix('.cache')`; keeping it
+        inside the labels dir avoids clobbering sibling-split caches)."""
+        return self._label_path(self.im_files[0]).parent / f".{self.task}.labels.cache"
+
+    def _labels_hash(self) -> str:
+        """Hash of every label file's (path, size, mtime) plus the image
+        list and task — any added/removed/edited label invalidates."""
+        h = hashlib.sha256(self.task.encode())
+        for p in self.im_files:
+            lp = self._label_path(p)
+            try:
+                st = lp.stat()
+                h.update(f"{lp}|{st.st_size}|{st.st_mtime_ns};".encode())
+            except OSError:
+                h.update(f"{lp}|absent;".encode())
+        return h.hexdigest()
+
+    def _load_labels(self) -> List[Dict]:
+        """Load labels from the .cache when its hash validates; otherwise
+        parse every label file and (best-effort) write a fresh cache."""
+        cache_path = self._cache_path()
+        want_hash = self._labels_hash()
+        if cache_path.is_file():
+            try:
+                with open(cache_path, "rb") as f:
+                    cached = pickle.load(f)
+                if (
+                    cached.get("version") == CACHE_VERSION
+                    and cached.get("hash") == want_hash
+                    and len(cached.get("labels", [])) == len(self.im_files)
+                ):
+                    return cached["labels"]
+            except Exception:
+                pass  # corrupt/unreadable cache → re-scan
+        labels = [self._read_label(p) for p in self.im_files]
+        try:
+            tmp = cache_path.with_suffix(".tmp")
+            with open(tmp, "wb") as f:
+                pickle.dump(
+                    {"version": CACHE_VERSION, "hash": want_hash, "labels": labels}, f
+                )
+            tmp.replace(cache_path)  # atomic: readers never see a partial file
+        except OSError:
+            pass  # read-only dataset dir — cache is an optimization only
+        return labels
 
     @staticmethod
     def _label_path(img_path: Path) -> Path:

@@ -124,8 +124,10 @@ _LEGACY_FALSE = {"C3k2", "DSC3k2", "A2C2f"}
 # c1-only modules: yaml arg[0] (if any) is ignored, c2 = c1 (tasks.py:1156-1186)
 _C1_ONLY = {
     "DySample", "LSKblock", "CBAM", "SLA", "EMA", "SELayer", "EdgeAwareAttention",
-    "EdgeAwareAttentionV2", "BAM", "FullyAttentionalBlock", "HiLo", "NonLocalBlock2D",
+    "EdgeAwareAttentionV2", "BAM", "BAM_YOLO", "FullyAttentionalBlock", "HiLo",
+    "NonLocalBlock2D",
     "BiFormerNCHW", "DAT_YOLO", "SCAM", "ELA", "CAA", "BoTAttention",
+    "BoTAttention_YOLO",
     "CoTNetLayer", "TripletAttention", "EUCB", "MEUM", "DLU", "CARAFE", "CARAFEplusplus", "LDA_AQU",
     # extensions beyond the reference registry (reachable only from test.py
     # there; YAML-reachable here): c1-only by construction
@@ -328,6 +330,8 @@ def _attention_builders():
         "MLCA": lambda a, d, n: A.MLCA(a[0], *a[1:], dtype=d, name=n),
         "ELA": lambda a, d, n: A.ELA(a[0], *a[1:], dtype=d, name=n),
         "BAM": lambda a, d, n: A.BAM(a[0], *a[1:], dtype=d, name=n),
+        # reference YAML spelling (modules_attention/BAM.py:51 BAM_YOLO(c1, reduction))
+        "BAM_YOLO": lambda a, d, n: A.BAM(a[0], *a[1:], dtype=d, name=n),
         "CoTNetLayer": lambda a, d, n: A.CoTNetLayer(a[0], *a[1:], dtype=d, name=n),
         "EfficientAttention": lambda a, d, n: A.EfficientAttention(a[0], *a[1:], dtype=d, name=n),
         "HiLo": lambda a, d, n: A.HiLo(a[0], *a[1:], dtype=d, name=n),
@@ -336,6 +340,8 @@ def _attention_builders():
         "MHSA": lambda a, d, n: A.MHSA(a[0], *a[1:], dtype=d, name=n),
         "MHSA_YOLO": lambda a, d, n: A.MHSA(a[0], *a[1:], dtype=d, name=n),
         "BoTAttention": lambda a, d, n: A.BoTAttention(a[0], *a[1:], dtype=d, name=n),
+        # reference YAML spelling (BoTNetAttention.py:245 BoTAttention_YOLO(dim, ...))
+        "BoTAttention_YOLO": lambda a, d, n: A.BoTAttention(a[0], *a[1:], dtype=d, name=n),
         "EdgeAwareAttention": lambda a, d, n: A.EdgeAwareAttention(a[0], *a[1:], dtype=d, name=n),
         "EdgeAwareAttentionV2": lambda a, d, n: A.EdgeAwareAttentionV2(a[0], *a[1:], dtype=d, name=n),
         # reference wrapper: EfficientAttention_YOLO(c1, c2, head_count=8, key_channels=64)

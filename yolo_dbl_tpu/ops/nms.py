@@ -49,7 +49,11 @@ def _suppress(boxes, scores, iou_thres):
     # become one MXU matvec pair instead of two K*K boolean sweeps, so the
     # big matrix is streamed from HBM once per round. Products are 0/1 and
     # f32 accumulation is exact to 2^24, so >0.5 is an exact "any".
-    overlap_t = overlap.T.astype(jnp.bfloat16)  # [i, j]: earlier j overlaps i
+    # XLA:CPU rejects BF16 dot for small operand pools ("UNIMPLEMENTED:
+    # unsupported operand type BF16 in op dot", jax 0.9.0, k<~128), so the
+    # matvec runs in f32 off-TPU — same exact 0/1 arithmetic, no MXU to feed.
+    dot_dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
+    overlap_t = overlap.T.astype(dot_dtype)  # [i, j]: earlier j overlaps i
 
     # Below-threshold candidates are decided from the start: they sort after
     # every real candidate (scores are -inf) so nothing downstream of them
@@ -65,7 +69,7 @@ def _suppress(boxes, scores, iou_thres):
         kept, dead = state
         undecided = ~(kept | dead)
         # (K, 2) @ matvec: col 0 = #kept earlier overlaps, col 1 = #undecided
-        stacked = jnp.stack([kept, undecided], axis=-1).astype(jnp.bfloat16)
+        stacked = jnp.stack([kept, undecided], axis=-1).astype(dot_dtype)
         counts = jax.lax.dot(
             overlap_t, stacked, precision=jax.lax.Precision.DEFAULT,
             preferred_element_type=jnp.float32)
