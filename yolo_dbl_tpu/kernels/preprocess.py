@@ -55,7 +55,7 @@ def letterbox_geometry(h_in: int, w_in: int, h_out: int, w_out: int, scaleup: bo
 
 
 def _letterbox_kernel(src_ref, ry_ref, rx_ref, out_ref, *, tile_h, w_out,
-                      new_h, new_w, top, left, pad_value):
+                      new_h, new_w, top, left, pad_value, precision):
     """One channel-plane, one output-row tile.
 
     src_ref: (1, h_in, w_in) uint8; ry_ref: (tile_h, h_in) f32 row-interp
@@ -67,14 +67,18 @@ def _letterbox_kernel(src_ref, ry_ref, rx_ref, out_ref, *, tile_h, w_out,
     # u8→f32 in VMEM; Mosaic on this toolchain has no direct u8→f32 cast
     # (NotImplementedError) but u8→i32→f32 lowers fine
     srcf = src_ref[0].astype(jnp.int32).astype(jnp.float32)
-    # HIGHEST: default TPU f32 dots run bf16 passes — ~1.3 u8 steps of error
-    # on 0-255 pixel values (measured 5.2e-3 vs the XLA twin on v5e)
+    # Precision choice (see letterbox_normalize): HIGHEST = 6 bf16 MXU
+    # passes, exact to ~6e-5; DEFAULT = 1 pass, ~1.3 u8 steps of error on
+    # [0,1] output (measured 5.2e-3 vs the XLA twin on v5e) — below the
+    # bf16 OUTPUT quantization (~2e-3), so the bf16-out serving lane uses
+    # DEFAULT and saves ~6x the matmul work (these dense 2-sparse dots are
+    # the kernel's entire FLOP cost: ~433 GFLOP per 128x512x768 batch).
     tmp = jnp.dot(ry_ref[...], srcf, preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST)
+                  precision=precision)
     val = jax.lax.dot_general(  # contract w_in: (tile_h, w_in)·(w_out, w_in)ᵀ
         tmp, rx_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+        precision=precision)
     rows = jax.lax.broadcasted_iota(jnp.int32, (tile_h, w_out), 0) + row0
     cols = jax.lax.broadcasted_iota(jnp.int32, (tile_h, w_out), 1)
     inside = (rows >= top) & (rows < top + new_h) & (cols >= left) & (cols < left + new_w)
@@ -82,9 +86,11 @@ def _letterbox_kernel(src_ref, ry_ref, rx_ref, out_ref, *, tile_h, w_out,
 
 
 @functools.partial(jax.jit, static_argnames=("out_hw", "tile_h", "pad_value",
-                                             "scaleup", "interpret", "out_dtype"))
+                                             "scaleup", "interpret", "out_dtype",
+                                             "precision"))
 def letterbox_normalize(images_u8, out_hw=(640, 640), tile_h=64, pad_value=114,
-                        scaleup=False, interpret=False, out_dtype=jnp.float32):
+                        scaleup=False, interpret=False, out_dtype=jnp.float32,
+                        precision=None):
     """Fused device preprocessing (Pallas; XLA fallback for oversized sources).
 
     Args:
@@ -98,9 +104,18 @@ def letterbox_normalize(images_u8, out_hw=(640, 640), tile_h=64, pad_value=114,
         (B, h_out, w_out, 3) out_dtype in [0, 1], padded with 114/255.
         (out_dtype=bfloat16 halves the output HBM footprint — used by the
         scanned u8 e2e protocol where K batches are letterboxed in one op.)
+
+    precision=None auto-selects the interpolation-dot precision: DEFAULT
+    (single-pass bf16 MXU) when the output is bfloat16 — the dot error
+    (~5e-3 on [0,1]) hides under bf16 output quantization — and HIGHEST
+    (exact to 6e-5) for float32 outputs, where callers may compare against
+    the cv2/XLA references bit-closely.
     """
     import numpy as np
 
+    if precision is None:
+        precision = (jax.lax.Precision.DEFAULT if out_dtype == jnp.bfloat16
+                     else jax.lax.Precision.HIGHEST)
     b, h_in, w_in, _ = images_u8.shape
     if h_in * w_in > _VMEM_SRC_LIMIT or max(h_in, w_in) > _MAX_SRC_SIDE:
         return letterbox_normalize_xla(images_u8, out_hw, pad_value,
@@ -124,6 +139,7 @@ def letterbox_normalize(images_u8, out_hw=(640, 640), tile_h=64, pad_value=114,
         _letterbox_kernel,
         tile_h=tile_h, w_out=w_out,
         new_h=new_h, new_w=new_w, top=top, left=left, pad_value=pad_value,
+        precision=precision,
     )
     out = pl.pallas_call(
         kernel,

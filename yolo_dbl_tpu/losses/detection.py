@@ -40,16 +40,24 @@ def _df_loss(pred_dist, target, reg_max=16):
     """Distribution-focal cross-entropy on the two adjacent integer bins
     (reference loss.py:65 DFLoss.__call__). pred_dist: (..., 4, reg_max),
     target: (..., 4) continuous distances. Returns (...,) mean over the 4 sides.
+
+    Gather-free: the two-bin pick is an iota-compare one-hot contraction.
+    take_along_axis on the 16-lane minor axis lowered as a real gather and
+    cost 52.8 ms at b48@640 vs 0.63 ms for this form (84x — the single
+    largest line item of the whole train step; tools/exp_loss_breakdown.py,
+    real v5e, 2026-08-19). TPU gathers are scatter-class; iota-compare
+    selections fuse into the surrounding elementwise graph.
     """
     target = jnp.clip(target, 0, reg_max - 1 - 0.01)
-    tl = jnp.floor(target).astype(jnp.int32)
-    tr = tl + 1
-    wl = tr.astype(target.dtype) - target
-    wr = 1.0 - wl
+    tl = jnp.floor(target)
+    wl = tl + 1.0 - target
     logp = jax.nn.log_softmax(pred_dist, axis=-1)
-    ce_l = -jnp.take_along_axis(logp, tl[..., None], axis=-1)[..., 0]
-    ce_r = -jnp.take_along_axis(logp, jnp.clip(tr, 0, reg_max - 1)[..., None], axis=-1)[..., 0]
-    return (ce_l * wl + ce_r * wr).mean(axis=-1)
+    iota = jnp.arange(reg_max, dtype=target.dtype)
+    oh_l = (iota == tl[..., None]).astype(logp.dtype)
+    oh_r = (iota == jnp.minimum(tl + 1.0, reg_max - 1)[..., None]).astype(logp.dtype)
+    ce_l = -(logp * oh_l).sum(-1)
+    ce_r = -(logp * oh_r).sum(-1)
+    return (ce_l * wl + ce_r * (1.0 - wl)).mean(axis=-1)
 
 
 def detection_loss(

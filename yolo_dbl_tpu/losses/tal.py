@@ -19,6 +19,27 @@ import jax.numpy as jnp
 from ..ops.boxes import bbox_iou
 
 
+def _kth_largest(x, k):
+    """k-th largest value along the last axis, as k-1 max+mask passes.
+
+    lax.top_k over A=8400 lowers as a sort on this TPU toolchain: 7.2 ms at
+    (48, 16, 8400) vs 0.24 ms for this form (tools/exp_loss_breakdown.py,
+    real v5e, 2026-08-19). Only the k-th VALUE is needed by the threshold
+    formulation below, so the sort is pure waste. Tie semantics: each pass
+    masks ALL elements equal to the current max, so with duplicate metrics
+    this returns the k-th largest DISTINCT value — the `>= kth` threshold
+    then admits every tied anchor (a superset of sorted top-k). Exact ties
+    in the f32 align metric are measure-zero away from init, and the
+    threshold form is already documented as init-divergent vs the exact
+    reference semantics (see the formulation note above).
+    """
+    cur = x
+    for _ in range(k - 1):
+        mx = cur.max(axis=-1, keepdims=True)
+        cur = jnp.where(cur >= mx, -jnp.inf, cur)
+    return cur.max(axis=-1, keepdims=True)
+
+
 def select_candidates_in_gts(anc_points, gt_bboxes, eps=1e-9):
     """Anchors whose center lies strictly inside each GT box.
 
@@ -108,8 +129,7 @@ def task_aligned_assign(
         mi = jnp.arange(m)[None, :, None]
         mask_topk = jnp.zeros_like(align_metric).at[bi, mi, topk_idxs].set(1.0)
     else:
-        topk_metrics, _ = jax.lax.top_k(align_metric, k)  # (B, M, k)
-        kth = topk_metrics[..., -1:]  # (B, M, 1)
+        kth = _kth_largest(align_metric, k)  # (B, M, 1)
         mask_topk = ((align_metric >= kth) & (align_metric > eps)).astype(align_metric.dtype)
     mask_pos = mask_topk * valid  # (B, M, A)
 
@@ -204,8 +224,7 @@ def rotated_task_aligned_assign(
     align_metric = bbox_scores**alpha * overlaps**beta
 
     k = min(topk, a)
-    topk_metrics, _ = jax.lax.top_k(align_metric, k)
-    kth = topk_metrics[..., -1:]
+    kth = _kth_largest(align_metric, k)  # sort-free; see _kth_largest
     mask_topk = ((align_metric >= kth) & (align_metric > eps)).astype(align_metric.dtype)
     mask_pos = mask_topk * valid
 
