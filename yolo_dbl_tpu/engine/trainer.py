@@ -172,18 +172,6 @@ class Trainer:
             data_sharding = NamedSharding(self.mesh, P("data"))
             stacked_sharding = NamedSharding(self.mesh, P(None, "data"))
             repl = NamedSharding(self.mesh, P())
-            # pytree-prefix: every batch leaf (incl. task extras like
-            # gt_masks / gt_kpts) shards on the data axis
-            self._step_fn = jax.jit(
-                step,
-                in_shardings=(None, data_sharding, repl),
-                donate_argnums=donate,
-            )
-            self._scan_fn = jax.jit(
-                scan,
-                in_shardings=(None, stacked_sharding, repl),
-                donate_argnums=donate,
-            )
             from ..parallel.shardings import model_axis_size, model_parallel_shardings
 
             if model_axis_size(self.mesh) > 1:
@@ -194,7 +182,27 @@ class Trainer:
                 st_sh = model_parallel_shardings(self.state, self.mesh)
                 self.state = jax.tree_util.tree_map(jax.device_put, self.state, st_sh)
             else:
+                st_sh = repl
                 self.state = jax.device_put(self.state, repl)
+            # pytree-prefix: every batch leaf (incl. task extras like
+            # gt_masks / gt_kpts) shards on the data axis. out_shardings pins
+            # the OUTPUT state to the input placement: left unspecified,
+            # GSPMD re-shards some replicated 1-D leaves at the step boundary
+            # (found by tests/test_flagship_multichip_compile.py at b48@640
+            # 4x2), which drifts the committed placement and forces one
+            # recompile on the second step of every run.
+            self._step_fn = jax.jit(
+                step,
+                in_shardings=(None, data_sharding, repl),
+                out_shardings=(st_sh, repl),
+                donate_argnums=donate,
+            )
+            self._scan_fn = jax.jit(
+                scan,
+                in_shardings=(None, stacked_sharding, repl),
+                out_shardings=(st_sh, repl),
+                donate_argnums=donate,
+            )
         else:
             self._step_fn = jax.jit(step, donate_argnums=donate)
             self._scan_fn = jax.jit(scan, donate_argnums=donate)
