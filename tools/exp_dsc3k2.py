@@ -95,14 +95,21 @@ def main():
     time_grad("DSConv(128,k7) @80", DSConv(128, 7, dtype=DT), s80)
     time_grad("Conv(128,1x1)+BN+SiLU @80", Conv(128, 1, dtype=DT), s80)
 
-    # isolate BN train-mode cost (batch stats fwd + bwd)
+    # isolate BN train-mode cost (batch stats fwd + bwd) — written as the
+    # pure math rather than nn.BatchNorm so grad-of-apply needs no mutable
+    # batch_stats collection
     class BNOnly(nn.Module):
         @nn.compact
         def __call__(self, x):
-            return nn.BatchNorm(momentum=BN_MOMENTUM, epsilon=BN_EPS,
-                                use_running_average=False, dtype=DT)(x)
+            scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+            bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
+            xf = x.astype(jnp.float32)
+            mean = xf.mean(axis=(0, 1, 2))
+            var = xf.var(axis=(0, 1, 2))
+            y = (xf - mean) * jax.lax.rsqrt(var + BN_EPS) * scale + bias
+            return y.astype(x.dtype)
 
-    time_grad("BatchNorm(train) @80x128", BNOnly(), s80)
+    time_grad("BatchNorm(train-math) @80x128", BNOnly(), s80)
 
     # isolate the raw pointwise matmul (no BN/act)
     class PWOnly(nn.Module):
