@@ -175,3 +175,46 @@ def test_crop_mask_loss():
     assert float(crop_mask_loss(pred, gt, boxes, w)) < 1e-3
     gt_zero = jnp.zeros((1, 8, 8))
     assert float(crop_mask_loss(pred, gt_zero, boxes, w)) > 1.0
+
+
+def test_kth_largest_matches_topk_kth_value():
+    """_kth_largest (sort-free TAL threshold, losses/tal.py) equals
+    lax.top_k's k-th value on distinct inputs; with duplicates it returns
+    the k-th largest DISTINCT value (documented tie semantics), so the
+    `>= kth` threshold admits a superset of sorted top-k."""
+    from yolo_dbl_tpu.losses.tal import _kth_largest
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.permuted(np.arange(48.0 * 100).reshape(4, 12, 100),
+                                 axis=-1).astype(np.float32))
+    for k in (1, 10, 37):
+        want = jax.lax.top_k(x, k)[0][..., -1:]
+        got = _kth_largest(x, k)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+
+    # duplicates: [5,5,5,2,1], k=3 -> sorted kth is 5; distinct-kth is 1
+    d = jnp.asarray([[5.0, 5.0, 5.0, 2.0, 1.0]])
+    assert float(_kth_largest(d, 3)[0, 0]) == 1.0
+    # threshold >= kth still admits all top values (superset of exact top-k)
+    assert int((d >= _kth_largest(d, 3)).sum()) == 5
+
+
+def test_tal_threshold_and_exact_agree_on_distinct_metrics():
+    """The sort-free threshold path (TPU default) and the exact top-k path
+    assign identically when align metrics are distinct and positive."""
+    from yolo_dbl_tpu.losses.tal import task_aligned_assign
+
+    rng = np.random.default_rng(1)
+    b, a, nc, m = 2, 64, 3, 4
+    anc = jnp.asarray(rng.uniform(0, 64, (a, 2)).astype(np.float32))
+    ps = jnp.asarray(rng.uniform(0.01, 1, (b, a, nc)).astype(np.float32))
+    pb = jnp.concatenate([anc[None] - 8, anc[None] + 8], -1) * jnp.ones((b, 1, 1))
+    gt = jnp.asarray(np.tile([[8.0, 8.0, 56.0, 56.0]], (b, m, 1)).astype(np.float32))
+    lab = jnp.zeros((b, m), jnp.int32)
+    mask = jnp.asarray(np.tile([1.0, 1.0, 0.0, 0.0], (b, 1)).astype(np.float32))
+
+    outs = [task_aligned_assign(ps, pb, anc, lab, gt, mask, topk=10,
+                                num_classes=nc, exact_topk=e)
+            for e in (True, False)]
+    for t, f in zip(outs[0], outs[1]):
+        np.testing.assert_allclose(np.asarray(t), np.asarray(f), atol=1e-6)
