@@ -134,3 +134,32 @@ def test_static_scales_match_dynamic_on_calib_batch():
     with int8_serving(scales=scales):
         sta = np.asarray(conv.apply(v, x))
     np.testing.assert_allclose(sta, dyn, rtol=1e-6, atol=1e-6)
+
+
+def test_predicate_scopes_quantization():
+    """int8_serving(predicate=...) quantizes only the scoped convs: a False
+    predicate leaves the exact path untouched; a True one matches the
+    unscoped int8 output; calibrate() honors the same scope so the scale
+    lists line up."""
+    from yolo_dbl_tpu.ops.quantize import calibrate
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 128)).astype(np.float32))
+    conv = nn.Conv(64, (3, 3), padding=[(1, 1), (1, 1)])
+    v = conv.init(jax.random.PRNGKey(0), x)
+
+    exact = np.asarray(conv.apply(v, x))
+    with int8_serving(predicate=lambda mod, a: False):
+        out_off = np.asarray(conv.apply(v, x))
+    np.testing.assert_array_equal(out_off, exact)
+
+    with int8_serving():
+        unscoped = np.asarray(conv.apply(v, x))
+    with int8_serving(predicate=lambda mod, a: a.shape[-1] >= 128):
+        scoped = np.asarray(conv.apply(v, x))
+    np.testing.assert_array_equal(scoped, unscoped)
+
+    assert calibrate(lambda a: conv.apply(v, a), x,
+                     predicate=lambda mod, a: False) == []
+    assert len(calibrate(lambda a: conv.apply(v, a), x,
+                         predicate=lambda mod, a: a.shape[-1] >= 128)) == 1

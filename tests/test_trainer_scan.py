@@ -110,3 +110,27 @@ def test_nonfinite_grads_skip_update():
     updates, opt_state = tx.update(good, opt_state, params)
     assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(updates))
     assert any(np.abs(np.asarray(l)).max() > 0 for l in jax.tree_util.tree_leaves(updates))
+
+
+def test_remat_loss_step_matches_base():
+    """make_train_step(remat_loss=True) must be a pure schedule change:
+    jax.checkpoint recomputes the loss forward in the backward instead of
+    saving residuals, so params after one step match the base step to
+    reassociation tolerance (the traffic A/B lives in
+    tools/exp_loss_remat.py)."""
+    from yolo_dbl_tpu.engine.trainer import make_train_step
+
+    key = jax.random.PRNGKey(0)
+    b = _batches(k=1)[0]
+
+    m = DetectionModel(YAML, nc=2)
+    t = Trainer(m, overrides={"imgsz": 64, "batch": 2}).setup(steps_per_epoch=10, imgsz=64)
+
+    base = jax.jit(make_train_step(m, t.cfg, t.tx))
+    remat = jax.jit(make_train_step(m, t.cfg, t.tx, remat_loss=True))
+
+    s1, met1 = base(t.state, b, key)
+    s2, met2 = remat(t.state, b, key)
+    np.testing.assert_allclose(float(met1["loss"]), float(met2["loss"]), rtol=1e-6)
+    for a, c in zip(_leaves(s1.params), _leaves(s2.params)):
+        np.testing.assert_allclose(a, c, rtol=1e-4, atol=1e-7)

@@ -58,8 +58,19 @@ def _task_loss(model: DetectionModel, cfg, outputs, batch):
     return detection_loss(outputs, batch, strides, nc, **gains)
 
 
-def make_train_step(model: DetectionModel, cfg, tx) -> Callable:
-    """Build the jitted train step closure over static model/config."""
+def make_train_step(model: DetectionModel, cfg, tx, remat_loss: bool = False) -> Callable:
+    """Build the jitted train step closure over static model/config.
+
+    remat_loss: wrap the loss in jax.checkpoint so its backward recomputes
+    the ~12 ms loss forward instead of reading saved (B, A=8400, 64) f32
+    residuals back from HBM — a traffic-for-flops trade on a step the
+    roofline (PROFILE.md) shows is bandwidth-bound at 78% of peak with
+    14.6% MFU. A/B'd on the real chip by tools/exp_loss_remat.py.
+    """
+    if remat_loss:
+        task_loss = jax.checkpoint(lambda outs, b: _task_loss(model, cfg, outs, b))
+    else:
+        task_loss = lambda outs, b: _task_loss(model, cfg, outs, b)
 
     def train_step(state: TrainState, batch: Dict, rng) -> Tuple[TrainState, Dict]:
         rng = jax.random.fold_in(rng, state.step)
@@ -74,7 +85,7 @@ def make_train_step(model: DetectionModel, cfg, tx) -> Callable:
                 mutable=["batch_stats"],
                 rngs={"dropout": rng},
             )
-            loss, items = _task_loss(model, cfg, outputs, batch)
+            loss, items = task_loss(outputs, batch)
             return loss, (items, mutated["batch_stats"])
 
         (loss, (items, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

@@ -137,7 +137,7 @@ def _int8_conv_call(mod: nn.Conv, x: jnp.ndarray, act_scale=None) -> jnp.ndarray
 
 
 @contextlib.contextmanager
-def int8_serving(scales=None):
+def int8_serving(scales=None, predicate=None):
     """Context manager: every eligible nn.Conv traced inside runs int8.
 
     Wrap the TRACE (the jit'd call or its first invocation), not the
@@ -146,16 +146,23 @@ def int8_serving(scales=None):
 
     Args:
         scales: optional list of per-conv activation absmax values from
-            `calibrate()` (same model, same trace order). When given, the
-            runtime per-tensor max reduction is replaced by a compile-time
-            constant scale. When None, scales are computed dynamically.
+            `calibrate()` (same model, same trace order, SAME predicate).
+            When given, the runtime per-tensor max reduction is replaced by
+            a compile-time constant scale. When None, scales are computed
+            dynamically.
+        predicate: optional extra scope filter `(module, x) -> bool`, ANDed
+            with the built-in eligibility. Lets a caller quantize only a
+            structural window (e.g. the early high-resolution chain where
+            the int8 stream REPLACES the bf16 one instead of adding to it —
+            see PROFILE.md "int8 serving e2e" for why whole-trunk int8
+            loses on this architecture).
     """
     it = iter(scales) if scales is not None else None
 
     def interceptor(next_fun, args, kwargs, context):
         if context.method_name == "__call__" and args and isinstance(args[0], jnp.ndarray):
             mod = context.module
-            if _eligible(mod, args[0]):
+            if _eligible(mod, args[0]) and (predicate is None or predicate(mod, args[0])):
                 s = next(it) if it is not None else None
                 # degenerate calibration (a dead/gated path saw ~zero input):
                 # a near-zero static scale would clip real serving activations
@@ -169,7 +176,7 @@ def int8_serving(scales=None):
         yield
 
 
-def calibrate(apply_fn, *args):
+def calibrate(apply_fn, *args, predicate=None):
     """Collect per-conv input absmax values for static int8 scales.
 
     Runs `apply_fn(*args)` ONCE, jitted, over a REPRESENTATIVE batch with a
@@ -178,12 +185,14 @@ def calibrate(apply_fn, *args):
     program, so calibration costs one device dispatch (eager capture would
     dispatch per-op through the TPU tunnel). Returns host floats in trace
     order — the same order `int8_serving(scales=...)` consumes them.
+    Pass the SAME `predicate` that serving will use so the orders align.
     """
     captured = []
 
     def capture(next_fun, fargs, fkwargs, context):
         if context.method_name == "__call__" and fargs and isinstance(fargs[0], jnp.ndarray):
-            if _eligible(context.module, fargs[0]):
+            if _eligible(context.module, fargs[0]) and (
+                    predicate is None or predicate(context.module, fargs[0])):
                 captured.append(jnp.max(jnp.abs(fargs[0].astype(jnp.float32))))
         return next_fun(*fargs, **fkwargs)
 
@@ -191,7 +200,9 @@ def calibrate(apply_fn, *args):
         captured.clear()  # retraces restart the collection
         with nn.intercept_methods(capture):
             apply_fn(*a)
-        return jnp.stack(captured)
+        # nothing in scope (e.g. a narrow predicate): return a 0-vector so
+        # the jitted program still has an output
+        return jnp.stack(captured) if captured else jnp.zeros((0,), jnp.float32)
 
     vals = jax.jit(wrapped)(*args)
     return [float(v) for v in vals]
