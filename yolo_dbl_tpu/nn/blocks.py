@@ -66,7 +66,7 @@ class C3(nn.Module):
         b = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
         for i in range(self.n):
             a = Bottleneck(c_, self.shortcut, self.g, k=(1, 3), e=1.0, dtype=self.dtype, name=f"m_{i}")(a, train)
-        return Conv(self.c2, 1, dtype=self.dtype, name="cv3")(jnp.concatenate([a, b], -1), train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv3").call_parts([a, b], train)
 
 
 class C2f(nn.Module):
@@ -88,7 +88,7 @@ class C2f(nn.Module):
             ys.append(
                 Bottleneck(c, self.shortcut, self.g, k=(3, 3), e=1.0, dtype=self.dtype, name=f"m_{i}")(ys[-1], train)
             )
-        return Conv(self.c2, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, -1), train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv2").call_parts(ys, train)
 
 
 class C3k(nn.Module):
@@ -111,7 +111,7 @@ class C3k(nn.Module):
             a = Bottleneck(
                 c_, self.shortcut, self.g, k=(self.k, self.k), e=1.0, dtype=self.dtype, name=f"m_{i}"
             )(a, train)
-        return Conv(self.c2, 1, dtype=self.dtype, name="cv3")(jnp.concatenate([a, b], -1), train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv3").call_parts([a, b], train)
 
 
 class C3k2(nn.Module):
@@ -136,7 +136,7 @@ class C3k2(nn.Module):
             else:
                 blk = Bottleneck(c, self.shortcut, self.g, k=(3, 3), e=0.5, dtype=self.dtype, name=f"m_{i}")
             ys.append(blk(ys[-1], train))
-        return Conv(self.c2, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, -1), train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv2").call_parts(ys, train)
 
 
 class SPPF(nn.Module):
@@ -154,7 +154,7 @@ class SPPF(nn.Module):
         ys = [y]
         for _ in range(3):
             ys.append(max_pool(ys[-1], self.k, 1, self.k // 2))
-        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, -1), train)
+        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv2").call_parts(ys, train)
 
 
 class GhostConv(nn.Module):
@@ -217,7 +217,7 @@ class C3Ghost(nn.Module):
         b = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
         for i in range(self.n):
             a = GhostBottleneck(c_, dtype=self.dtype, name=f"m_{i}")(a, train)
-        return Conv(self.c2, 1, dtype=self.dtype, name="cv3")(jnp.concatenate([a, b], -1), train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv3").call_parts([a, b], train)
 
 
 class C1(nn.Module):
@@ -253,7 +253,7 @@ class C2(nn.Module):
         a, b = y[..., :c], y[..., c:]
         for i in range(self.n):
             a = Bottleneck(c, self.shortcut, self.g, k=(3, 3), e=1.0, dtype=self.dtype, name=f"m_{i}")(a, train)
-        return Conv(self.c2, 1, dtype=self.dtype, name="cv2")(jnp.concatenate([a, b], -1), train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv2").call_parts([a, b], train)
 
 
 class LightConv(nn.Module):
@@ -314,7 +314,7 @@ class HGBlock(nn.Module):
                 y.append(LightConv(self.cm, self.k, dtype=self.dtype, name=f"m_{i}")(y[-1], train))
             else:
                 y.append(Conv(self.cm, self.k, act=r, dtype=self.dtype, name=f"m_{i}")(y[-1], train))
-        out = Conv(self.c2 // 2, 1, 1, act=r, dtype=self.dtype, name="sc")(jnp.concatenate(y, -1), train)
+        out = Conv(self.c2 // 2, 1, 1, act=r, dtype=self.dtype, name="sc").call_parts(y, train)
         out = Conv(self.c2, 1, 1, act=r, dtype=self.dtype, name="ec")(out, train)
         return out + x if self.shortcut and x.shape[-1] == self.c2 else out
 
@@ -395,7 +395,7 @@ class SPP(nn.Module):
         c_ = x.shape[-1] // 2
         y = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
         ys = [y] + [max_pool(y, k, 1, k // 2) for k in self.k]
-        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, -1), train)
+        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv2").call_parts(ys, train)
 
 
 class C3_Faster(nn.Module):
@@ -419,7 +419,7 @@ class C3_Faster(nn.Module):
         b = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
         for i in range(self.n):
             a = FasterBlock(c_, c_, dtype=self.dtype, name=f"m_{i}")(a, train)
-        return Conv(self.c2, 1, dtype=self.dtype, name="cv3")(jnp.concatenate([a, b], -1), train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv3").call_parts([a, b], train)
 
 
 class CBLinear(nn.Module):
@@ -481,7 +481,7 @@ class SPPCSPC(nn.Module):
         x1 = Conv(c_, 3, 1, dtype=self.dtype, name="cv3")(x1, train)
         x1 = Conv(c_, 1, 1, dtype=self.dtype, name="cv4")(x1, train)
         pools = [x1] + [max_pool(x1, k, 1, k // 2) for k in self.k]
-        y1 = Conv(c_, 1, 1, dtype=self.dtype, name="cv5")(jnp.concatenate(pools, -1), train)
+        y1 = Conv(c_, 1, 1, dtype=self.dtype, name="cv5").call_parts(pools, train)
         y1 = Conv(c_, 3, 1, dtype=self.dtype, name="cv6")(y1, train)
         y2 = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
         return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv7")(
@@ -530,7 +530,7 @@ class DSC3k(nn.Module):
             a = DSBottleneck(
                 c_, self.shortcut, e=1.0, k1=self.k1, k2=self.k2, d2=self.d2, dtype=self.dtype, name=f"m_{i}"
             )(a, train)
-        return Conv(self.c2, 1, dtype=self.dtype, name="cv3")(jnp.concatenate([a, b], -1), train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv3").call_parts([a, b], train)
 
 
 class DSC3k2(nn.Module):
@@ -564,7 +564,7 @@ class DSC3k2(nn.Module):
                     dtype=self.dtype, name=f"m_{i}",
                 )
             ys.append(blk(ys[-1], train))
-        return Conv(self.c2, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, -1), train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv2").call_parts(ys, train)
 
 
 class LSKblock(nn.Module):
@@ -704,7 +704,7 @@ class C3AH(nn.Module):
         a = AdaHGComputation(
             c_, self.num_hyperedges, num_heads, 0.1, self.context, dtype=self.dtype, name="m"
         )(a, train)
-        return Conv(self.c2, 1, dtype=self.dtype, name="cv3")(jnp.concatenate([a, b], -1), train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv3").call_parts([a, b], train)
 
 
 class FuseModule(nn.Module):
@@ -723,8 +723,8 @@ class FuseModule(nn.Module):
     def __call__(self, xs, train: bool = False):
         x1 = avg_pool2(xs[0])
         x3 = nearest_upsample(xs[2], 2)
-        x_cat = jnp.concatenate([x1, xs[1], x3], -1)
-        return Conv(self.c_in, 1, dtype=self.dtype, name="conv_out")(x_cat, train)
+        return Conv(self.c_in, 1, dtype=self.dtype, name="conv_out").call_parts(
+            [x1, xs[1], x3], train)
 
 
 class HyperACE(nn.Module):
@@ -764,7 +764,7 @@ class HyperACE(nn.Module):
             last = blk(last, train)
             ys.append(last)
         ys.append(out2)
-        return Conv(self.c2, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, -1), train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv2").call_parts(ys, train)
 
 
 class FuseModule2(nn.Module):
@@ -777,8 +777,8 @@ class FuseModule2(nn.Module):
     def __call__(self, xs, train: bool = False):
         x1 = avg_pool2(xs[0])
         x3 = nearest_upsample(xs[2], 2)
-        x_cat = jnp.concatenate([x1, xs[1], x3], -1)
-        return Conv(self.c_in, 1, dtype=self.dtype, name="conv_out")(x_cat, train)
+        return Conv(self.c_in, 1, dtype=self.dtype, name="conv_out").call_parts(
+            [x1, xs[1], x3], train)
 
 
 class HyperACE2(nn.Module):
@@ -813,7 +813,7 @@ class HyperACE2(nn.Module):
             last = blk(last, train)
             ys.append(last)
         ys.append(out2)
-        return Conv(self.c2, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, -1), train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv2").call_parts(ys, train)
 
 
 class DownsampleConv(nn.Module):
@@ -971,7 +971,7 @@ class A2C2f(nn.Module):
                 ys.append(z)
             else:
                 ys.append(C3k(c_, 2, self.shortcut, self.g, dtype=self.dtype, name=f"m_{i}")(ys[-1], train))
-        out = Conv(self.c2, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, -1), train)
+        out = Conv(self.c2, 1, dtype=self.dtype, name="cv2").call_parts(ys, train)
         if self.a2 and self.residual:
             gamma = self.param("gamma", nn.initializers.constant(0.01), (self.c2,))
             return x + gamma.astype(out.dtype) * out

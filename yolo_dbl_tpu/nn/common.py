@@ -17,6 +17,7 @@ TPU-native equivalents of the reference's nn/modules/conv.py primitives
 from __future__ import annotations
 
 import math
+import os
 from contextlib import contextmanager
 from typing import Any, Callable, Optional, Sequence, Union
 
@@ -84,6 +85,28 @@ def default_act_ctx(fn: Optional[Callable]):
         _DEFAULT_ACT.pop()
 
 
+# concat-fold policy: `conv1x1(concat(parts))` rewritten as a sum of
+# kernel-slice matmuls so the concat tensor never reaches HBM. Isolated
+# micro-benchmarks on the v5e favored the fold (tools/exp_concat_fold.py,
+# b128 bf16 slope: 40x40 4x256 2.81->2.38 ms, 20x20 2x512 0.36->0.22,
+# mixed 256+256+512 3.22->1.92; 80x80 4x128 LOSES 6.69->7.30), but the
+# full-graph A/B on the chip was NEGATIVE: flagship b128 scan 1112.5 ->
+# 1091.0 img/s, u8 lane 1076.7 -> 1061.4 (PROFILE.md "Concat-fold A/B").
+# In context XLA already fuses the concat into the producing ops, while
+# the hand-split form pins a partial-sum chain it can't re-fuse. Default
+# is therefore OFF everywhere; YOLO_DBL_FOLD_CONCAT=1 opts in (exactness
+# pinned by tests/test_concat_fold.py regardless of backend).
+_FOLD_MAXHW_DEFAULT = 40 * 40
+
+
+def fold_concat_enabled() -> bool:
+    return os.environ.get("YOLO_DBL_FOLD_CONCAT", "") not in ("0", "false", "")
+
+
+def fold_concat_maxhw() -> int:
+    return int(os.environ.get("YOLO_DBL_FOLD_CONCAT_MAXHW", _FOLD_MAXHW_DEFAULT))
+
+
 def _pad_spec(p):
     """Torch-style symmetric padding → flax per-dim (lo, hi) pairs."""
     if isinstance(p, int):
@@ -130,6 +153,46 @@ class Conv(nn.Module):
 
     def __call__(self, x, train: bool = False):
         return self.norm_act(self.conv(x), train)
+
+    def call_parts(self, parts, train: bool = False):
+        """`self(concat(parts, -1), train)` without materializing the concat.
+
+        A 1x1 conv over a channel-concat equals the sum of matmuls with the
+        kernel sliced along the input-channel axis — exact linear algebra
+        (bf16 partial-sum order is the only drift), identical param tree.
+        OFF by default (the full-graph A/B on the v5e was negative — see
+        the policy note above); YOLO_DBL_FOLD_CONCAT=1 opts in, and even
+        then non-1x1/strided/grouped convs, maps above the spatial
+        threshold, and init fall back to the concat form.
+        """
+        if len(parts) == 1:
+            return self(parts[0], train)
+        h, w = parts[0].shape[1:3]
+        if (
+            self.is_initializing()
+            or _pair(self.k) != (1, 1)
+            or _pair(self.s) != (1, 1)
+            or self.g != 1
+            or self.d != 1
+            or h * w > fold_concat_maxhw()
+            or not fold_concat_enabled()
+        ):
+            return self(jnp.concatenate(parts, -1), train)
+        kernel = self.conv.variables["params"]["kernel"][0, 0]  # (cin, cout)
+        kernel = kernel.astype(self.dtype)
+        total = sum(p.shape[-1] for p in parts)
+        if total != kernel.shape[0]:
+            raise ValueError(
+                f"call_parts channel mismatch: parts sum to {total}, kernel "
+                f"expects {kernel.shape[0]}")
+        y = None
+        off = 0
+        for p in parts:
+            c = p.shape[-1]
+            part = p.astype(self.dtype) @ kernel[off : off + c]
+            y = part if y is None else y + part
+            off += c
+        return self.norm_act(y, train)
 
     def norm_act(self, x, train: bool = False, phase_groups: int = 1):
         """BatchNorm + activation only — the tail of __call__.

@@ -122,7 +122,7 @@ class M2C2f(nn.Module):
                 ys.append(z)
             else:
                 ys.append(C3k(c_, 2, self.shortcut, self.g, dtype=self.dtype, name=f"m_{i}")(ys[-1], train))
-        out = Conv(self.c2, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, -1), train)
+        out = Conv(self.c2, 1, dtype=self.dtype, name="cv2").call_parts(ys, train)
         if self.use_attn and self.residual:
             gamma = self.param("gamma", nn.initializers.constant(0.01), (self.c2,))
             return x + gamma.astype(out.dtype) * out
@@ -155,7 +155,7 @@ class C3k2_EAMC(nn.Module):
                 else Bottleneck(c, self.shortcut, self.g, dtype=self.dtype, name=f"m_{i}")
             )
             ys.append(blk(ys[-1], train))
-        out = Conv(self.c2, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, -1), train)
+        out = Conv(self.c2, 1, dtype=self.dtype, name="cv2").call_parts(ys, train)
         # triple-feature ECA
         b, _, _, c2 = out.shape
         avg = out.mean(axis=(1, 2))

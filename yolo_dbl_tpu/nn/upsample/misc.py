@@ -108,7 +108,7 @@ class EFE(nn.Module):
 
         x_sobel = sobel(sob) + sobel(sob.T)
         x_conv = Conv(c, 3, dtype=self.dtype, name="conv_branch")(x, train)
-        y = Conv(c, 1, dtype=self.dtype, name="conv1")(jnp.concatenate([x_sobel, x_conv], -1), train)
+        y = Conv(c, 1, dtype=self.dtype, name="conv1").call_parts([x_sobel, x_conv], train)
         return Conv(self.ouc, 1, dtype=self.dtype, name="conv2")(y + x, train)
 
 
@@ -135,10 +135,10 @@ class C3k2_EFE(nn.Module):
                 bb = Conv(c // 2, 1, dtype=self.dtype, name=f"m_{i}_cv2")(ys[-1], train)
                 for j in range(2):
                     a = EFE(c // 2, c // 2, dtype=self.dtype, name=f"m_{i}_efe{j}")(a, train)
-                ys.append(Conv(c, 1, dtype=self.dtype, name=f"m_{i}_cv3")(jnp.concatenate([a, bb], -1), train))
+                ys.append(Conv(c, 1, dtype=self.dtype, name=f"m_{i}_cv3").call_parts([a, bb], train))
             else:
                 ys.append(EFE(c, c, dtype=self.dtype, name=f"m_{i}")(ys[-1], train))
-        return Conv(self.c2, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, -1), train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv2").call_parts(ys, train)
 
 
 class FGM(nn.Module):
@@ -201,7 +201,7 @@ class Multibranch(nn.Module):
         y = Conv(c, 1, dtype=self.dtype, name="cv1")(x, train)
         ok_branch, identity = y[..., :ce], y[..., ce:]
         ok = OmniKernel(ce, dtype=self.dtype, name="m")(ok_branch, train)
-        return Conv(c, 1, dtype=self.dtype, name="cv2")(jnp.concatenate([ok, identity], -1), train)
+        return Conv(c, 1, dtype=self.dtype, name="cv2").call_parts([ok, identity], train)
 
 
 class _BasicConv(nn.Module):

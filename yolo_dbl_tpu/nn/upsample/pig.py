@@ -172,7 +172,7 @@ class C2f_PIG(nn.Module):
 
                 z = GhostBottleneckV2(c, c, se_ratio=self.se_ratio, dtype=self.dtype, name=f"m_{i}")(ys[-1], train)
             ys.append(z)
-        return Conv(self.c2, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, -1), train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv2").call_parts(ys, train)
 
 
 class C2f_WT(nn.Module):
@@ -196,4 +196,4 @@ class C2f_WT(nn.Module):
             if self.shortcut:
                 z = ys[-1] + z
             ys.append(z)
-        return Conv(self.c2, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, -1), train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv2").call_parts(ys, train)

@@ -73,7 +73,7 @@ class RepCSP(nn.Module):
             y = RepConv(c_, 3, dtype=self.dtype, name=f"m_{i}_cv1")(a, train)
             y = Conv(c_, 3, 1, g=self.g, dtype=self.dtype, name=f"m_{i}_cv2")(y, train)
             a = a + y if self.shortcut else y
-        return Conv(self.c2, 1, dtype=self.dtype, name="cv3")(jnp.concatenate([a, b], -1), train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv3").call_parts([a, b], train)
 
 
 class RepNCSPELAN4(nn.Module):
@@ -97,7 +97,7 @@ class RepNCSPELAN4(nn.Module):
         z = RepCSP(self.c4, self.n, dtype=self.dtype, name="cv3_0")(z, train)
         z = Conv(self.c4, 3, 1, dtype=self.dtype, name="cv3_1")(z, train)
         ys.append(z)
-        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv4")(jnp.concatenate(ys, -1), train)
+        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv4").call_parts(ys, train)
 
 
 class ELAN1(nn.Module):
@@ -117,7 +117,7 @@ class ELAN1(nn.Module):
         ys.append(z)
         z = Conv(self.c4, 3, 1, dtype=self.dtype, name="cv3")(z, train)
         ys.append(z)
-        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv4")(jnp.concatenate(ys, -1), train)
+        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv4").call_parts(ys, train)
 
 
 def _avg_pool2_s1(x):
@@ -172,7 +172,7 @@ class SPPELAN(nn.Module):
         ys = [y]
         for _ in range(3):
             ys.append(max_pool(ys[-1], self.k, 1, self.k // 2))
-        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv5")(jnp.concatenate(ys, -1), train)
+        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv5").call_parts(ys, train)
 
 
 class RepVGGDWBlock(nn.Module):
@@ -230,7 +230,7 @@ class C2fCIB(nn.Module):
         ys = [y[..., :c], y[..., c:]]
         for i in range(self.n):
             ys.append(CIB(c, self.shortcut, e=1.0, lk=self.lk, dtype=self.dtype, name=f"m_{i}")(ys[-1], train))
-        return Conv(self.c2, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, -1), train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv2").call_parts(ys, train)
 
 
 class V10Attention(nn.Module):
@@ -291,7 +291,7 @@ class PSA(nn.Module):
         f = Conv(c * 2, 1, dtype=self.dtype, name="ffn_0")(b, train)
         f = Conv(c, 1, act=False, dtype=self.dtype, name="ffn_1")(f, train)
         b = b + f
-        return Conv(x.shape[-1], 1, dtype=self.dtype, name="cv2")(jnp.concatenate([a, b], -1), train)
+        return Conv(x.shape[-1], 1, dtype=self.dtype, name="cv2").call_parts([a, b], train)
 
 
 class C2PSA(nn.Module):
@@ -309,7 +309,7 @@ class C2PSA(nn.Module):
         a, b = y[..., :c], y[..., c:]
         for i in range(self.n):
             b = PSABlock(c, 0.5, max(c // 64, 1), dtype=self.dtype, name=f"m_{i}")(b, train)
-        return Conv(self.c2, 1, dtype=self.dtype, name="cv2")(jnp.concatenate([a, b], -1), train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv2").call_parts([a, b], train)
 
 
 class SCDown(nn.Module):

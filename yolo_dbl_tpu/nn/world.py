@@ -92,7 +92,7 @@ class C2fAttn(nn.Module):
                                  dtype=self.dtype, name=f"m_{i}")(ys[-1], train))
         ys.append(MaxSigmoidAttnBlock(c, nh=self.nh, ec=self.ec, gc=self.gc,
                                       dtype=self.dtype, name="attn")(ys[-1], guide, train))
-        return Conv(self.c2, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, -1), train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv2").call_parts(ys, train)
 
 
 class ImagePoolingAttn(nn.Module):
