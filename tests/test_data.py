@@ -367,3 +367,50 @@ def test_label_cache_roundtrip_and_invalidation(tmp_path):
     ds4 = YOLODataset(root, split="train", imgsz=96)
     assert len(ds4.labels) == 4
     assert ds4.labels[0]["cls"].tolist() == [2]
+
+
+def test_disk_image_cache_spill_and_budget(tmp_path, caplog):
+    """cache='disk' (reference data/base.py:93-101): decoded images spill to
+    .npy beside each image; later reads come from the spill (the original can
+    even disappear); the budget check refuses caching when the dataset won't
+    fit, with a warning instead of an OOM."""
+    import logging
+    from unittest import mock
+
+    root = make_shapes_dataset(tmp_path / "ds", n_train=4, n_val=2, imgsz=96)
+    ds = YOLODataset(root, split="train", imgsz=96, cache_images="disk")
+    assert ds._disk_cache and ds._cache is None
+    first = ds.load_image(0)
+    npy = ds._npy_path(0)
+    assert npy.is_file()
+    # second read comes from the spill: decode path never runs
+    with mock.patch("cv2.imread", side_effect=AssertionError("spill miss")):
+        again = ds.load_image(0)
+    np.testing.assert_array_equal(first, again)
+    # spilled array round-trips exactly and is non-executable on load
+    np.testing.assert_array_equal(np.load(npy, allow_pickle=False), first)
+    # a truncated spill falls back to decoding the original
+    npy.write_bytes(b"\x93NUMPY garbage")
+    np.testing.assert_array_equal(ds.load_image(0), first)
+
+    # RAM-mode alias: True == 'ram' (dict cache, no .npy writes)
+    ds_ram = YOLODataset(root, split="train", imgsz=96, cache_images=True)
+    assert ds_ram._cache == {} and not ds_ram._disk_cache
+    ds_ram.load_image(1)
+    assert 1 in ds_ram._cache
+
+    # budget refusal: pretend the disk is full -> caching disabled loudly
+    from yolo_dbl_tpu.utils import LOGGER
+
+    LOGGER.addHandler(caplog.handler)
+    try:
+        with caplog.at_level(logging.WARNING, logger="yolo_dbl_tpu"):
+            import shutil as _sh
+
+            usage = _sh.disk_usage(".")._replace(free=0)
+            with mock.patch("shutil.disk_usage", return_value=usage):
+                ds_no = YOLODataset(root, split="train", imgsz=96, cache_images="disk")
+        assert not ds_no._disk_cache and ds_no._cache is None
+        assert any("caching disabled" in r.message for r in caplog.records)
+    finally:
+        LOGGER.removeHandler(caplog.handler)

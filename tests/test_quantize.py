@@ -163,3 +163,34 @@ def test_predicate_scopes_quantization():
                      predicate=lambda mod, a: False) == []
     assert len(calibrate(lambda a: conv.apply(v, a), x,
                          predicate=lambda mod, a: a.shape[-1] >= 128)) == 1
+
+
+def test_static_scales_survive_retrace():
+    """A retrace inside one int8_serving(scales=...) context (second input
+    shape) must restart the scale cycle, not exhaust it (ADVICE r4: the old
+    shared iterator raised StopIteration mid-trace)."""
+    from yolo_dbl_tpu.ops.quantize import calibrate
+
+    rng = np.random.default_rng(3)
+    x8 = jnp.asarray(rng.standard_normal((1, 8, 8, 128)).astype(np.float32))
+    x16 = jnp.asarray(rng.standard_normal((1, 16, 16, 128)).astype(np.float32))
+    conv = nn.Conv(64, (3, 3), padding=[(1, 1), (1, 1)])
+    v = conv.init(jax.random.PRNGKey(0), x8)
+    scales = calibrate(lambda a: conv.apply(v, a), x8)
+    assert len(scales) == 1
+
+    f = jax.jit(lambda var, a: conv.apply(var, a))
+    with int8_serving(scales=scales):
+        y8 = f(v, x8)
+        y16 = f(v, x16)  # new shape -> retrace inside the same context
+        y8b = f(v, x8)
+    # the retrace used the SAME calibrated scale as the first trace
+    with int8_serving(scales=scales):
+        want16 = jax.jit(lambda var, a: conv.apply(var, a))(v, x16)
+    np.testing.assert_allclose(np.asarray(y16), np.asarray(want16), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(y8), np.asarray(y8b), rtol=1e-6)
+
+    # empty scales + an eligible conv is a loud error, not silent bf16
+    with pytest.raises(ValueError, match="captured nothing"):
+        with int8_serving(scales=[]):
+            conv.apply(v, x8)

@@ -10,14 +10,19 @@ to the labels directory (reference data/dataset.py:66 `cache_labels` /
 data/utils.py:load_dataset_cache_file): reopening the dataset skips the
 per-file parse when the (paths, sizes, mtimes) hash matches; a stale,
 corrupt, or version-mismatched cache falls back to a full re-scan. Images
-are decoded per access with an optional RAM cache like the reference's
-cache='ram' (data/base.py:93).
+are decoded per access with an optional RAM or disk cache like the
+reference's cache='ram'/'disk' (data/base.py:93-101): 'ram' keeps decoded
+arrays in a dict, 'disk' spills them to `.npy` beside each image so later
+epochs (and later runs) skip JPEG decode. Both modes run the reference's
+budget check first — sample-decode up to 30 images, extrapolate total bytes
+×1.1 safety, compare against available RAM / free disk — and fall back to
+uncached with a warning when the dataset won't fit.
 """
 
 from __future__ import annotations
 
 import hashlib
-import pickle
+import os
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 
@@ -27,13 +32,92 @@ import numpy as np
 IMG_EXTS = {".jpg", ".jpeg", ".png", ".bmp", ".webp", ".tif", ".tiff"}
 
 # bump when the label dict layout changes (mirrors reference DATASET_CACHE_VERSION)
-CACHE_VERSION = "yolo_dbl_tpu.cache.v1"
+# v2: npz encoding — the v1 pickle could execute code from an untrusted
+# dataset dir on open (same risk class as the reference's allow_pickle cache)
+CACHE_VERSION = "yolo_dbl_tpu.cache.v2"
+
+
+def _labels_to_arrays(labels: List[Dict]) -> Dict[str, np.ndarray]:
+    """Flatten ragged per-image label dicts into dense arrays for np.savez
+    (non-executable on load, unlike pickle: np.load(allow_pickle=False))."""
+    ncol = labels[0]["xywhn"].shape[1] if labels else 4
+    counts = np.array([len(l["cls"]) for l in labels], np.int64)
+    out = {
+        "counts": counts,
+        "ncol": np.int64(ncol),
+        "xywhn": (np.concatenate([l["xywhn"] for l in labels], 0)
+                  if labels else np.zeros((0, ncol), np.float32)),
+        "cls": (np.concatenate([l["cls"] for l in labels], 0)
+                if labels else np.zeros((0,), np.int32)),
+    }
+    if labels and "segments" in labels[0]:
+        segs = [s for l in labels for s in l["segments"]]
+        out["seg_counts"] = np.array([len(l["segments"]) for l in labels], np.int64)
+        out["seg_lens"] = np.array([len(s) for s in segs], np.int64)
+        out["seg_points"] = (np.concatenate(segs, 0) if segs
+                             else np.zeros((0, 2), np.float32))
+    if labels and "keypoints" in labels[0]:
+        out["kpt_ks"] = np.array([l["keypoints"].shape[1] for l in labels], np.int64)
+        out["kpt_flat"] = (np.concatenate(
+            [l["keypoints"].reshape(-1, 3) for l in labels], 0)
+            if labels else np.zeros((0, 3), np.float32))
+    return out
+
+
+def _labels_from_arrays(z) -> List[Dict]:
+    """Inverse of _labels_to_arrays."""
+    counts = z["counts"]
+    ncol = int(z["ncol"])
+    box_off = np.concatenate([[0], np.cumsum(counts)])
+    labels = []
+    has_seg, has_kpt = "seg_counts" in z, "kpt_ks" in z
+    if has_seg:
+        seg_counts = z["seg_counts"]
+        seg_lens = z["seg_lens"]
+        poly_off = np.concatenate([[0], np.cumsum(seg_counts)])
+        pt_off = np.concatenate([[0], np.cumsum(seg_lens)])
+        seg_points = z["seg_points"]
+    if has_kpt:
+        kpt_ks = z["kpt_ks"]
+        kpt_off = np.concatenate([[0], np.cumsum(counts * kpt_ks)])
+        kpt_flat = z["kpt_flat"]
+    for i, n in enumerate(counts):
+        lab = {
+            "xywhn": z["xywhn"][box_off[i]:box_off[i + 1]].reshape(-1, ncol).astype(np.float32),
+            "cls": z["cls"][box_off[i]:box_off[i + 1]].astype(np.int32),
+        }
+        if has_seg:
+            polys = []
+            for j in range(poly_off[i], poly_off[i + 1]):
+                polys.append(seg_points[pt_off[j]:pt_off[j + 1]].astype(np.float32))
+            lab["segments"] = polys
+        if has_kpt:
+            k = int(kpt_ks[i])
+            lab["keypoints"] = kpt_flat[kpt_off[i]:kpt_off[i + 1]].reshape(
+                int(n), k, 3).astype(np.float32)
+        labels.append(lab)
+    return labels
+
+
+def _available_ram() -> int:
+    """MemAvailable from /proc/meminfo (the budget the reference reads via
+    psutil.virtual_memory().available); unknown → effectively unlimited."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) * 1024
+    except OSError:
+        pass
+    return 1 << 62
 
 
 class YOLODataset:
     def __init__(self, root, split: str = "train", imgsz: int = 640, cache_images: bool = False,
-                 names: Optional[Dict[int, str]] = None, img_dir=None, task: str = "detect"):
+                 names: Optional[Dict[int, str]] = None, img_dir=None, task: str = "detect",
+                 single_cls: bool = False, fraction: float = 1.0):
         self.task = task
+        self.fraction = float(fraction)
         if img_dir is None and isinstance(root, (str, Path)) and str(root).endswith((".yaml", ".yml")):
             # dataset recipe yaml (reference data/utils.py check_det_dataset)
             from .utils import check_det_dataset
@@ -59,10 +143,24 @@ class YOLODataset:
         )
         if not self.im_files:
             raise FileNotFoundError(f"no images found in {img_dir}")
+        if self.fraction < 1.0:
+            # reference data/base.py: train on the first `fraction` of images
+            self.im_files = self.im_files[: max(1, round(len(self.im_files) * self.fraction))]
         self.labels = self._load_labels()
+        if single_cls:
+            # reference BaseDataset.update_labels(single_cls): every object
+            # becomes class 0 (train the detector class-agnostically)
+            for lab in self.labels:
+                lab["cls"] = np.zeros_like(lab["cls"])
         self.imgsz = imgsz
         self.names = names or {}
-        self._cache: Dict[int, np.ndarray] = {} if cache_images else None
+        # cache_images: False | True/'ram' (decoded arrays in RAM) | 'disk'
+        # (.npy spill beside each image) — reference data/base.py:93-101
+        mode = "ram" if cache_images is True else cache_images
+        if mode and not self._check_cache_budget(mode):
+            mode = False
+        self._cache: Optional[Dict[int, np.ndarray]] = {} if mode == "ram" else None
+        self._disk_cache = mode == "disk"
 
     # ---- persistent label cache (reference data/dataset.py:66) ----
 
@@ -92,23 +190,24 @@ class YOLODataset:
         want_hash = self._labels_hash()
         if cache_path.is_file():
             try:
-                with open(cache_path, "rb") as f:
-                    cached = pickle.load(f)
-                if (
-                    cached.get("version") == CACHE_VERSION
-                    and cached.get("hash") == want_hash
-                    and len(cached.get("labels", [])) == len(self.im_files)
-                ):
-                    return cached["labels"]
+                with np.load(cache_path, allow_pickle=False) as z:
+                    if (
+                        str(z["version"]) == CACHE_VERSION
+                        and str(z["hash"]) == want_hash
+                        and len(z["counts"]) == len(self.im_files)
+                    ):
+                        return _labels_from_arrays(z)
             except Exception:
-                pass  # corrupt/unreadable cache → re-scan
+                pass  # corrupt/unreadable/old-format cache → re-scan
         labels = [self._read_label(p) for p in self.im_files]
+        if self.fraction < 1.0:
+            return labels  # don't overwrite the full-dataset cache with a slice
         try:
-            tmp = cache_path.with_suffix(".tmp")
+            # per-process tmp name: concurrent openers can't race on one .tmp
+            tmp = cache_path.with_suffix(f".{os.getpid()}.tmp")
+            arrays = _labels_to_arrays(labels)
             with open(tmp, "wb") as f:
-                pickle.dump(
-                    {"version": CACHE_VERSION, "hash": want_hash, "labels": labels}, f
-                )
+                np.savez(f, version=CACHE_VERSION, hash=want_hash, **arrays)
             tmp.replace(cache_path)  # atomic: readers never see a partial file
         except OSError:
             pass  # read-only dataset dir — cache is an optimization only
@@ -165,15 +264,70 @@ class YOLODataset:
     def __len__(self):
         return len(self.im_files)
 
+    # ---- image cache budget (reference data/base.py check_cache_ram /
+    # check_cache_disk, base.py:93-101) ----
+
+    def _check_cache_budget(self, mode: str) -> bool:
+        """Sample-decode up to 30 images, extrapolate the full dataset's
+        decoded bytes with a 1.1 safety factor, and compare against available
+        RAM ('ram') or free disk next to the images ('disk'). Returns False
+        (with a warning) when the dataset won't fit — caching then stays off
+        rather than OOMing mid-epoch."""
+        n = len(self.im_files)
+        sample = [self.im_files[i] for i in np.linspace(0, n - 1, min(30, n)).astype(int)]
+        nbytes, ok = 0, 0
+        for p in sample:
+            img = cv2.imread(str(p))
+            if img is not None:
+                nbytes += img.nbytes
+                ok += 1
+        if not ok:
+            return False
+        need = nbytes / ok * n * 1.1
+        if mode == "ram":
+            have = _available_ram()
+            kind = "available RAM"
+        else:
+            import shutil
+
+            have = shutil.disk_usage(self.im_files[0].parent).free
+            kind = "free disk"
+        if need > have:
+            from ..utils import LOGGER
+
+            LOGGER.warning(
+                f"cache='{mode}' needs ~{need / 2**30:.1f} GiB for {n} images but only "
+                f"{have / 2**30:.1f} GiB {kind} — caching disabled")
+            return False
+        return True
+
+    def _npy_path(self, index: int) -> Path:
+        return self.im_files[index].with_suffix(".npy")
+
     def load_image(self, index: int) -> np.ndarray:
         if self._cache is not None and index in self._cache:
             return self._cache[index]
+        if self._disk_cache:
+            npy = self._npy_path(index)
+            if npy.is_file():
+                try:
+                    return np.load(npy, allow_pickle=False)
+                except Exception:
+                    pass  # truncated/foreign .npy → decode the original
         img = cv2.imread(str(self.im_files[index]))
         if img is None:
             raise IOError(f"failed to read {self.im_files[index]}")
         img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
         if self._cache is not None:
             self._cache[index] = img
+        elif self._disk_cache:
+            try:
+                tmp = self._npy_path(index).with_suffix(f".{os.getpid()}.npytmp")
+                with open(tmp, "wb") as f:  # handle write: np.save(path) would append '.npy'
+                    np.save(f, img)
+                tmp.replace(self._npy_path(index))  # atomic vs concurrent readers
+            except OSError:
+                pass  # read-only dataset dir — spill is an optimization only
         return img
 
     def load_resized(self, index: int, imgsz: int) -> Tuple[np.ndarray, Dict]:

@@ -131,13 +131,21 @@ class YOLO:
             restored.update(overrides)  # explicit args this call win
             overrides = restored
         cfg = get_cfg(overrides={k: v for k, v in overrides.items()})
+        from ..utils import set_verbosity
+
+        set_verbosity(bool(cfg.verbose))
         self.callbacks.run("on_pretrain_routine_start", model=self, cfg=cfg)
         cfg.imgsz = check_imgsz(cfg.imgsz, stride=max(self.model.strides, default=1))
         names = overrides.get("names")
         task = self.task
-        train_ds = YOLODataset(data, split="train", imgsz=cfg.imgsz, task=task)
+        # single_cls: all objects become class 0 (reference BaseDataset
+        # update_labels); fraction: train on the first fraction of images
+        train_ds = YOLODataset(data, split="train", imgsz=cfg.imgsz, task=task,
+                               single_cls=cfg.single_cls, fraction=cfg.fraction,
+                               cache_images=cfg.cache)
         try:
-            val_ds = YOLODataset(data, split="val", imgsz=cfg.imgsz, task=task)
+            val_ds = YOLODataset(data, split="val", imgsz=cfg.imgsz, task=task,
+                                 single_cls=cfg.single_cls, cache_images=cfg.cache)
         except FileNotFoundError:
             val_ds = train_ds
         hyp = {k: getattr(cfg, k) for k in
@@ -155,7 +163,15 @@ class YOLO:
         self.trainer = trainer
         validator = self._make_validator()
 
-        run_dir = ckpt_path.parent if resume else Path(cfg.project or "runs") / (cfg.name or "train")
+        if resume:
+            run_dir = ckpt_path.parent
+        else:
+            # reference get_save_dir: auto-increment train2, train3, … unless
+            # exist_ok (utils/files.py increment_path)
+            from ..utils.files import increment_path
+
+            run_dir = increment_path(Path(cfg.project or "runs") / (cfg.name or "train"),
+                                     exist_ok=cfg.exist_ok)
         run_dir.mkdir(parents=True, exist_ok=True)
         best_fitness, best_epoch = -1.0, -1
         start_epoch = 0
@@ -223,6 +239,13 @@ class YOLO:
             avg.update(epoch=epoch, seconds=time.time() - t0, **{f"val_{k}": v for k, v in val_metrics.items()
                                                                 if isinstance(v, (int, float))})
             history.append(avg)
+            # per-epoch results.csv (reference trainer save_metrics → results.csv)
+            csv_path = run_dir / "results.csv"
+            num_keys = [k for k in avg if isinstance(avg[k], (int, float))]
+            if not csv_path.is_file():
+                csv_path.write_text(",".join(num_keys) + "\n")
+            with open(csv_path, "a") as f:
+                f.write(",".join(f"{avg.get(k, float('nan')):.6g}" for k in num_keys) + "\n")
             self.callbacks.run("on_train_epoch_end", model=self, epoch=epoch, metrics=avg)
             self.callbacks.run("on_fit_epoch_end", model=self, epoch=epoch, metrics=avg)
             if fitness > best_fitness:
@@ -235,10 +258,23 @@ class YOLO:
             save_checkpoint(run_dir / "last.ckpt", trainer.state, best_fitness=best_fitness,
                             train_args={k: v for k, v in vars(cfg).items() if k != "resume"},
                             metrics=val_metrics, epoch=epoch, best_epoch=best_epoch)
+            if cfg.save_period and cfg.save_period > 0 and epoch % cfg.save_period == 0:
+                # periodic epoch{N}.ckpt (reference trainer.py:537 save_period)
+                save_checkpoint(run_dir / f"epoch{epoch}.ckpt", trainer.state, best_fitness=best_fitness,
+                                train_args={k: v for k, v in vars(cfg).items() if k != "resume"},
+                                metrics=val_metrics, epoch=epoch, best_epoch=best_epoch)
             if cfg.patience and epoch - best_epoch >= cfg.patience:
                 break
         train_loader.close()
         val_loader.close()
+        if cfg.plots and history:
+            # loss/metric curves (reference plot_metrics → results.png)
+            from ..utils.plotting import plot_results
+
+            try:
+                plot_results(history, save_path=str(run_dir / "results.png"))
+            except Exception:
+                pass  # plotting is best-effort (headless matplotlib quirks)
         self.variables = {"params": trainer.state.ema_params, "batch_stats": trainer.state.batch_stats}
         out = {"history": history, "best_fitness": best_fitness, "run_dir": str(run_dir)}
         self.callbacks.run("on_train_end", model=self, metrics=history[-1] if history else {})
@@ -253,7 +289,9 @@ class YOLO:
         loader = DataLoader(ds, batch_size=batch, imgsz=imgsz, augment=False, shuffle=False,
                             drop_last=False, task=self.task)
         if self.task == "detect":
-            validator = DetectionValidator(self.model, conf=conf, iou=iou, use_coco_stats=coco_stats)
+            validator = DetectionValidator(self.model, conf=conf, iou=iou, use_coco_stats=coco_stats,
+                                           save_json=bool(kw.get("save_json", False)),
+                                           save_dir=kw.get("save_dir"))
         else:
             validator = self._make_validator(conf=conf, iou=iou)
         self.callbacks.run("on_val_start", model=self)
@@ -266,11 +304,15 @@ class YOLO:
     def _make_predictor(self, conf, iou, imgsz, **kw):
         from .predictor import TASK_PREDICTORS, PosePredictor
 
+        # reference predict flags that reach NMS (cfg/default.yaml
+        # agnostic_nms/classes; utils/ops.py:167)
+        extra = {k: kw[k] for k in ("agnostic_nms", "classes", "device_preprocess", "max_det")
+                 if k in kw}
         cls = TASK_PREDICTORS[self.task]
         if cls is PosePredictor:
             return cls(self.model, kpt_shape=tuple(self.model.yaml.get("kpt_shape", (17, 3))),
-                       conf=conf, iou=iou, imgsz=imgsz)
-        return cls(self.model, conf=conf, iou=iou, imgsz=imgsz)
+                       conf=conf, iou=iou, imgsz=imgsz, **extra)
+        return cls(self.model, conf=conf, iou=iou, imgsz=imgsz, **extra)
 
     def predict(self, source, conf: float = 0.25, iou: float = 0.45, imgsz: int = 640, **kw):
         """Task-dispatched prediction returning typed Results (reference

@@ -355,12 +355,20 @@ class BasePredictor:
     """Shared batching / letterbox / rescale plumbing for task predictors."""
 
     def __init__(self, model: DetectionModel, conf: float = 0.25, iou: float = 0.45,
-                 max_det: int = 300, imgsz: int = 640, device_preprocess: bool = True):
+                 max_det: int = 300, imgsz: int = 640, device_preprocess: bool = True,
+                 agnostic_nms: bool = False, classes=None):
         self.model = model
         self.conf = conf
         self.iou = iou
         self.max_det = max_det
         self.imgsz = imgsz
+        # reference NMS flags (utils/ops.py:167): agnostic=True suppresses
+        # across classes; classes=[…] keeps only those class ids
+        self.agnostic_nms = bool(agnostic_nms)
+        if classes is None:
+            self.classes = None
+        else:
+            self.classes = tuple(int(c) for c in (classes if isinstance(classes, (list, tuple)) else [classes]))
         # fused device preprocessing (kernels/preprocess.py): uint8 frames
         # ship to the device as-is (4x less transfer) and letterbox+normalize
         # fuse into the inference program — replaces the reference's host
@@ -374,6 +382,20 @@ class BasePredictor:
 
     def infer(self, variables, img):  # pragma: no cover - overridden
         raise NotImplementedError
+
+    def _mask_classes(self, pred):
+        """Zero the score channels of classes not in `classes` (reference
+        non_max_suppression classes= filter): they can never pass conf_thres,
+        so the fixed-shape NMS needs no dynamic row filter.
+
+        pred: (B, 4+nc[+extra], A) channels-first decode output (the Detect
+        head inference layout, NMS in_format='no_a')."""
+        if self.classes is None:
+            return pred
+        nc = self.model.nc
+        keep = jnp.zeros((nc,), pred.dtype).at[jnp.asarray(self.classes)].set(1)
+        return jnp.concatenate(
+            [pred[:, :4], pred[:, 4:4 + nc] * keep[None, :, None], pred[:, 4 + nc:]], 1)
 
     def _infer_from_u8(self, variables, images_u8):
         from ..kernels.preprocess import letterbox_normalize, letterbox_normalize_xla
@@ -435,9 +457,10 @@ class DetectionPredictor(BasePredictor):
     """NMS + scale_boxes → Results (reference models/yolo/detect/predict.py:8)."""
 
     def infer(self, variables, img):
-        pred = self.model.predict(variables, img)
+        pred = self._mask_classes(self.model.predict(variables, img))
         return non_max_suppression(
-            pred, conf_thres=self.conf, iou_thres=self.iou, max_det=self.max_det
+            pred, conf_thres=self.conf, iou_thres=self.iou, max_det=self.max_det,
+            class_agnostic=self.agnostic_nms
         )
 
     def build_result(self, out, i, im, gain, pad, path):
@@ -456,10 +479,10 @@ class SegmentationPredictor(BasePredictor):
 
         outputs = self.model.apply(variables, img)
         det_maps, coeffs, protos = outputs
-        pred = self.model.decode_outputs(outputs, img_size=img.shape[1])
+        pred = self._mask_classes(self.model.decode_outputs(outputs, img_size=img.shape[1]))
         dets, num, anchor_idx = non_max_suppression(
             pred, conf_thres=self.conf, iou_thres=self.iou, max_det=self.max_det,
-            nc=self.model.nc, return_idx=True)
+            nc=self.model.nc, return_idx=True, class_agnostic=self.agnostic_nms)
         kept = jnp.take_along_axis(flatten_levels(coeffs), anchor_idx[..., None], axis=1)
         return dets, num, kept, protos
 
@@ -504,10 +527,10 @@ class PosePredictor(BasePredictor):
 
         outputs = self.model.apply(variables, img)
         det_maps, kpt_maps = outputs
-        pred = self.model.decode_outputs(outputs, img_size=img.shape[1])
+        pred = self._mask_classes(self.model.decode_outputs(outputs, img_size=img.shape[1]))
         dets, num, anchor_idx = non_max_suppression(
             pred, conf_thres=self.conf, iou_thres=self.iou, max_det=self.max_det,
-            nc=self.model.nc, return_idx=True)
+            nc=self.model.nc, return_idx=True, class_agnostic=self.agnostic_nms)
         shapes = [f.shape[1:3] for f in det_maps]
         anchors, stride_t = make_anchors(shapes, self.model.strides)
         nk, nd = self.kpt_shape
@@ -539,7 +562,7 @@ class OBBPredictor(BasePredictor):
     """Rotated-box NMS → OBB container (reference models/yolo/obb/predict.py)."""
 
     def infer(self, variables, img):
-        pred = self.model.predict(variables, img)  # (B, 4+nc+1, A)
+        pred = self._mask_classes(self.model.predict(variables, img))  # (B, 4+nc+1, A)
         return non_max_suppression_rotated(
             pred, conf_thres=self.conf, iou_thres=self.iou, max_det=self.max_det,
             nc=self.model.nc)

@@ -45,6 +45,55 @@ def decay_mask(params) -> Any:
     return jax.tree_util.tree_map_with_path(rule, params)
 
 
+def freeze_mask(params, freeze) -> Optional[Any]:
+    """Pytree of bools, True = parameter receives NO updates.
+
+    Reference semantics (engine/trainer.py:246-260): `freeze=N` freezes the
+    first N layers (`model.0.` … `model.N-1.`), `freeze=[…]` freezes listed
+    layer indices or name fragments. Here layer i's params live under the
+    top-level key `m{i}`, so int entries match that key exactly and string
+    entries substring-match the flattened path (like the reference's
+    `any(x in k …)`). The reference's always-frozen `.dfl` has no analogue:
+    DFL is folded analytically into decode here (ops/boxes.py) and owns no
+    parameters. Returns None when nothing is frozen.
+    """
+    if freeze in (None, 0, False) or (isinstance(freeze, (list, tuple)) and not freeze):
+        return None
+    items = list(freeze) if isinstance(freeze, (list, tuple)) else list(range(int(freeze)))
+    idx_keys = set()
+    fragments = []
+    for x in items:
+        if isinstance(x, bool):
+            raise ValueError(f"freeze entries must be layer indices or names, got {x}")
+        if isinstance(x, int) or (isinstance(x, str) and x.isdigit()):
+            idx_keys.add(f"m{int(x)}")
+        else:
+            fragments.append(str(x))
+
+    def rule(path, leaf):
+        keys = [str(p.key) for p in path if hasattr(p, "key")]
+        if keys and keys[0] in idx_keys:
+            return True
+        joined = "/".join(keys)
+        return any(f in joined for f in fragments)
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def _freeze_updates(mask) -> optax.GradientTransformation:
+    """Zero the update for every frozen leaf (mask True). Zeroing the final
+    update (rather than the gradient) also kills weight decay on frozen
+    params, matching torch requires_grad=False where decay never applies."""
+
+    def update_fn(updates, state, params=None):
+        out = jax.tree_util.tree_map(
+            lambda u, m: jnp.zeros_like(u) if m else u, updates, mask
+        )
+        return out, state
+
+    return optax.GradientTransformation(lambda params: optax.EmptyState(), update_fn)
+
+
 def auto_optimizer(nc: int, lr0: float, momentum: float, iterations: float) -> Tuple[str, float, float]:
     """'auto' optimizer heuristic (reference trainer.py:766-781)."""
     if iterations > 10000:
@@ -133,6 +182,12 @@ def build_optimizer(
     # constant images → zero BN variance → rsqrt(eps)-amplified backward
     # overflow) then cost one skipped step instead of permanently NaN params.
     tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
+    fmask = freeze_mask(params, getattr(cfg, "freeze", None))
+    if fmask is not None:
+        # reference freeze (trainer.py:246-260): first-N / named layers get
+        # requires_grad=False; here the optax chain zeroes their updates so
+        # the params stay bitwise identical through training
+        tx = optax.chain(tx, _freeze_updates(fmask))
     if getattr(cfg, "grad_accumulate", False) and accumulate > 1:
         # reference nbs=64 gradient accumulation (trainer.py:369): micro-batch
         # gradients accumulate and the optimizer steps every `accumulate`

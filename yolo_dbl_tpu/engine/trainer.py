@@ -37,7 +37,8 @@ def _task_loss(model: DetectionModel, cfg, outputs, batch):
     if head == "Segment":
         from ..losses.extra import segmentation_loss
         det, coeffs, protos = outputs
-        return segmentation_loss(det, coeffs, protos, batch, strides, nc, **gains)
+        return segmentation_loss(det, coeffs, protos, batch, strides, nc,
+                                 overlap_masks=bool(getattr(cfg, "overlap_mask", True)), **gains)
     if head == "Pose":
         from ..losses.extra import pose_loss
         det, kpts = outputs

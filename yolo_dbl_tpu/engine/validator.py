@@ -25,12 +25,17 @@ from ..utils.metrics import COCOEvaluator, DetMetrics
 
 class DetectionValidator:
     def __init__(self, model: DetectionModel, conf: float = 0.001, iou: float = 0.7,
-                 max_det: int = 300, use_coco_stats: bool = False):
+                 max_det: int = 300, use_coco_stats: bool = False,
+                 save_json: bool = False, save_dir=None):
         self.model = model
         self.conf = conf
         self.iou = iou
         self.max_det = max_det
         self.use_coco_stats = use_coco_stats
+        # reference pred_to_json (models/yolo/detect/val.py:281): dump every
+        # detection as COCO-format rows to predictions.json
+        self.save_json = save_json
+        self.save_dir = save_dir
 
         def infer(variables, img):
             from ..kernels.preprocess import device_normalize
@@ -48,6 +53,7 @@ class DetectionValidator:
         coco = COCOEvaluator(self.model.nc) if self.use_coco_stats else None
         speed = {"inference": 0.0, "postprocess": 0.0}
         n_images = 0
+        json_rows = [] if self.save_json else None
         pending = None  # overlap device compute with host metric accumulation
 
         def consume(res, batch):
@@ -71,6 +77,18 @@ class DetectionValidator:
                 metrics.update(d, np.asarray(gt_boxes), np.asarray(gt_cls))
                 if coco is not None:
                     coco.update(d, np.asarray(gt_boxes), np.asarray(gt_cls))
+                if json_rows is not None:
+                    # COCO result rows (reference pred_to_json): xyxy → ltwh,
+                    # coordinates in the validator's letterboxed input space
+                    # (the same space the mAP above is computed in)
+                    for row in d:
+                        json_rows.append({
+                            "image_id": n_images,
+                            "category_id": int(row[5]),
+                            "bbox": [round(float(v), 3) for v in
+                                     (row[0], row[1], row[2] - row[0], row[3] - row[1])],
+                            "score": round(float(row[4]), 5),
+                        })
                 n_images += 1
             speed["postprocess"] += time.time() - t0
 
@@ -90,6 +108,14 @@ class DetectionValidator:
         out = metrics.results()
         if coco is not None:
             out["coco_stats"] = coco.summarize()
+        if json_rows is not None:
+            import json
+            from pathlib import Path
+
+            save_dir = Path(self.save_dir or "runs/val")
+            save_dir.mkdir(parents=True, exist_ok=True)
+            (save_dir / "predictions.json").write_text(json.dumps(json_rows))
+            out["predictions_json"] = str(save_dir / "predictions.json")
         out["speed_ms_per_image"] = {
             k: (v / max(n_images, 1)) * 1000 for k, v in speed.items()
         }

@@ -130,6 +130,23 @@ def focal_loss(pred_logits, label, alpha=0.25, gamma=1.5):
     return (ce * mod).sum()
 
 
+def exclusive_instance_masks(gm):
+    """Resolve overlapping instance masks to exclusive pixel ownership.
+
+    Reference overlap_mask=True (Format(mask_overlap) + polygons2masks_overlap,
+    data/utils.py): instances are rendered largest-first into ONE index mask,
+    so a pixel covered by several instances belongs to the SMALLEST one.
+    Equivalent per-instance form: each instance gets a priority = its rank in
+    descending-area order and keeps only pixels where it holds the max
+    priority. gm: (B, M, Hm, Wm) binary; padded all-zero rows are unaffected.
+    """
+    areas = gm.sum((-1, -2))  # (B, M)
+    rank = jnp.argsort(jnp.argsort(-areas, axis=1), axis=1).astype(jnp.float32)
+    pri = (rank + 1.0) * (areas > 0)  # padded rows drop out
+    pri_m = gm * pri[:, :, None, None]
+    return gm * (pri_m == pri_m.max(axis=1, keepdims=True))
+
+
 def segmentation_loss(feats, coeffs, protos, batch, strides, nc, overlap_masks=True, **kw):
     """Detection loss + prototype mask loss (reference v8SegmentationLoss).
 
@@ -167,9 +184,10 @@ def segmentation_loss(feats, coeffs, protos, batch, strides, nc, overlap_masks=T
     hm, wm = protos.shape[1:3]
     # per-anchor predicted masks for assigned GTs
     pred_m = jnp.einsum("bak,bhwk->bahw", coeff_flat, protos.astype(jnp.float32))  # (B, A, Hm, Wm)
-    gt_m = jnp.take_along_axis(
-        batch["gt_masks"].astype(jnp.float32), tgt_idx[:, :, None, None], axis=1
-    )  # (B, A, Hm, Wm)
+    gm = batch["gt_masks"].astype(jnp.float32)  # (B, M, Hm, Wm) per-instance
+    if overlap_masks:
+        gm = exclusive_instance_masks(gm)
+    gt_m = jnp.take_along_axis(gm, tgt_idx[:, :, None, None], axis=1)  # (B, A, Hm, Wm)
     scale = jnp.array([wm, hm, wm, hm], jnp.float32) / imgsz
     boxes_m = tgt_boxes * scale
     fg = fg_mask.astype(jnp.float32)

@@ -174,6 +174,8 @@ class Conv(nn.Module):
             or _pair(self.s) != (1, 1)
             or self.g != 1
             or self.d != 1
+            # explicit nonzero padding would be dropped by the matmul form
+            or autopad(self.k, self.p, self.d) not in (0, (0, 0))
             or h * w > fold_concat_maxhw()
             or not fold_concat_enabled()
         ):

@@ -149,7 +149,10 @@ def int8_serving(scales=None, predicate=None):
             `calibrate()` (same model, same trace order, SAME predicate).
             When given, the runtime per-tensor max reduction is replaced by
             a compile-time constant scale. When None, scales are computed
-            dynamically.
+            dynamically. Consumption cycles modulo len(scales): each trace
+            visits every eligible conv once in a fixed order, so a RETRACE
+            inside the context (second input shape, donation retrace)
+            restarts cleanly at scale 0 instead of exhausting an iterator.
         predicate: optional extra scope filter `(module, x) -> bool`, ANDed
             with the built-in eligibility. Lets a caller quantize only a
             structural window (e.g. the early high-resolution chain where
@@ -157,13 +160,22 @@ def int8_serving(scales=None, predicate=None):
             see PROFILE.md "int8 serving e2e" for why whole-trunk int8
             loses on this architecture).
     """
-    it = iter(scales) if scales is not None else None
+    scales = list(scales) if scales is not None else None
+    counter = [0]  # per-context call index; modulo-cycled so retraces align
 
     def interceptor(next_fun, args, kwargs, context):
         if context.method_name == "__call__" and args and isinstance(args[0], jnp.ndarray):
             mod = context.module
             if _eligible(mod, args[0]) and (predicate is None or predicate(mod, args[0])):
-                s = next(it) if it is not None else None
+                if scales is None:
+                    s = None
+                elif not scales:
+                    raise ValueError(
+                        "int8_serving(scales=[]) but an eligible conv was traced — "
+                        "calibrate() captured nothing for this scope; check the predicate")
+                else:
+                    s = scales[counter[0] % len(scales)]
+                    counter[0] += 1
                 # degenerate calibration (a dead/gated path saw ~zero input):
                 # a near-zero static scale would clip real serving activations
                 # to zero — keep that conv bf16 instead
