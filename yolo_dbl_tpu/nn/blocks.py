@@ -1027,15 +1027,12 @@ class DySample(nn.Module):
         base = jnp.stack([gx, gy])[:, None]  # (2, 1, H, W)
         coords = 2.0 * (base[None] + off) / jnp.array([w, h], dtype=off.dtype).reshape(1, 2, 1, 1, 1) - 1.0
 
-        # pixel-shuffle coords to (B*g, s*H, s*W, 2)
+        # pixel-shuffle coords to (B, sH, sW, 2, g) — group stays a MINOR dim
         coords = coords.reshape(b, 2 * g * s * s, h, w)
         coords = jnp.transpose(coords, (0, 2, 3, 1))  # NHWC
         coords = pixel_shuffle(coords, s)  # (B, sH, sW, 2*g)
         coords = coords.reshape(b, s * h, s * w, 2, g)
-        coords = jnp.transpose(coords, (0, 4, 1, 2, 3)).reshape(b * g, s * h, s * w, 2)
 
-        xg = x.reshape(b, h, w, g, c // g)
-        xg = jnp.transpose(xg, (0, 3, 1, 2, 4)).reshape(b * g, h, w, c // g)
         # Sampling path under train: one-hot matmul, same as eval. Safe since
         # the one-hot chunk body is jax.checkpoint'ed (ops/resample.py) — its
         # interpolation matrix is REBUILT in the backward, not retained (the
@@ -1047,9 +1044,25 @@ class DySample(nn.Module):
         import os as _os
 
         train_pref = False if _os.environ.get("YOLO_DBL_TRAIN_GATHER") else None
-        out = grid_sample_bilinear(
-            xg, coords, prefer_onehot=train_pref if train else None
-        )  # (B*g, sH, sW, c/g)
-        out = out.reshape(b, g, s * h, s * w, c // g)
-        out = jnp.transpose(out, (0, 2, 3, 1, 4)).reshape(b, s * h, s * w, c)
+        # Per-group sampling on minor-dim channel slices. The old form folded
+        # the group into the batch (transpose to (B*g, H, W, c/g) and back),
+        # which materialized two full feature-map relayouts per DySample —
+        # the 839 MB copies at the top of the round-5 b128 traffic map.
+        # Channel groups are CONTIGUOUS (reference DySample.py:49 view), so
+        # slicing x[..., gi*cg:(gi+1)*cg] and concatenating the sampled
+        # groups back on the minor axis is pure reshape traffic XLA folds
+        # into the producers; per-group math is unchanged (same weights,
+        # same contraction order — bitwise-identical results).
+        cg = c // g
+        out = jnp.concatenate(
+            [
+                grid_sample_bilinear(
+                    x[..., gi * cg : (gi + 1) * cg],
+                    coords[..., gi],
+                    prefer_onehot=train_pref if train else None,
+                )
+                for gi in range(g)
+            ],
+            axis=-1,
+        )  # (B, sH, sW, c)
         return out

@@ -41,15 +41,25 @@ def box_area(box):
 
 
 def box_iou(box1, box2, eps=1e-7):
-    """Pairwise IoU between (..., N, 4) and (..., M, 4) xyxy boxes -> (..., N, M)."""
-    a1 = box1[..., :, None, :2]
-    a2 = box1[..., :, None, 2:]
-    b1 = box2[..., None, :, :2]
-    b2 = box2[..., None, :, 2:]
-    inter_wh = jnp.clip(jnp.minimum(a2, b2) - jnp.maximum(a1, b1), 0.0)
-    inter = inter_wh[..., 0] * inter_wh[..., 1]
-    area1 = ((a2 - a1)[..., 0] * (a2 - a1)[..., 1])
-    area2 = ((b2 - b1)[..., 0] * (b2 - b1)[..., 1])
+    """Pairwise IoU between (..., N, 4) and (..., M, 4) xyxy boxes -> (..., N, M).
+
+    The x/y planes are computed as separate (..., N, M) arrays rather than a
+    stacked (..., N, M, 2): a trailing dim of 2 is a pathological TPU layout
+    that forced XLA to materialize the full f32 [K, K, 2] intermediate
+    (1.07 GB at B=128, K=1024 — measured ~17% of NMS traffic in the b128
+    traffic map). Same ops in the same order, so results are bitwise
+    identical. Exactly symmetric in (box1, box2) when called with the same
+    array (min/max/add are commutative), which _suppress relies on.
+    """
+    b1x1, b1y1 = box1[..., :, None, 0], box1[..., :, None, 1]
+    b1x2, b1y2 = box1[..., :, None, 2], box1[..., :, None, 3]
+    b2x1, b2y1 = box2[..., None, :, 0], box2[..., None, :, 1]
+    b2x2, b2y2 = box2[..., None, :, 2], box2[..., None, :, 3]
+    iw = jnp.clip(jnp.minimum(b1x2, b2x2) - jnp.maximum(b1x1, b2x1), 0.0)
+    ih = jnp.clip(jnp.minimum(b1y2, b2y2) - jnp.maximum(b1y1, b2y1), 0.0)
+    inter = iw * ih
+    area1 = (b1x2 - b1x1) * (b1y2 - b1y1)
+    area2 = (b2x2 - b2x1) * (b2y2 - b2y1)
     return inter / (area1 + area2 - inter + eps)
 
 

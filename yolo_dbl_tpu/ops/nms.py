@@ -42,9 +42,6 @@ def _suppress(boxes, scores, iou_thres):
     """
     k = boxes.shape[0]
     iou = box_iou(boxes, boxes)
-    # [j, i] True iff j earlier (higher score) than i and overlapping
-    earlier = jnp.tril(jnp.ones((k, k), dtype=bool), k=-1).T
-    overlap = (iou > iou_thres) & earlier
     # bf16 0/1 copy with f32 accumulation: the per-round reductions below
     # become one MXU matvec pair instead of two K*K boolean sweeps, so the
     # big matrix is streamed from HBM once per round. Products are 0/1 and
@@ -53,7 +50,14 @@ def _suppress(boxes, scores, iou_thres):
     # unsupported operand type BF16 in op dot", jax 0.9.0, k<~128), so the
     # matvec runs in f32 off-TPU — same exact 0/1 arithmetic, no MXU to feed.
     dot_dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
-    overlap_t = overlap.T.astype(dot_dtype)  # [i, j]: earlier j overlaps i
+    # [i, j] True iff j earlier (higher score, j < i) than i and overlapping.
+    # Built directly in the [i, j] orientation — iou is exactly symmetric for
+    # self-IoU (see box_iou docstring), so masking with tril(-1) here equals
+    # the old (iou > thr & earlier).T without materializing a transposed copy
+    # of the K x K matrix (was a full extra HBM round-trip at B=128, K=1024).
+    overlap_t = (
+        jnp.tril(jnp.ones((k, k), dtype=bool), k=-1) & (iou > iou_thres)
+    ).astype(dot_dtype)
 
     # Below-threshold candidates are decided from the start: they sort after
     # every real candidate (scores are -inf) so nothing downstream of them
