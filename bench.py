@@ -98,8 +98,6 @@ def main():
         _, outs = jax.lax.scan(body, None, stacked)
         return outs
 
-    fn_scan = jax.jit(infer_scan)
-
     # DISTINCT pre-staged inputs per iteration and a block on every output:
     # identical repeated inputs let async runtimes cache/elide work and
     # overstate throughput. (A scan body consuming the SAME array each
@@ -112,15 +110,42 @@ def main():
     stacked = jax.block_until_ready(jax.random.uniform(
         jax.random.PRNGKey(0), (n_iters, batch, imgsz, imgsz, 3), dtype=jnp.bfloat16))
 
+    # Stage inputs in the executable's preferred layout (round 5): with
+    # default row-major arguments the program relayouts the image batch
+    # every scan step (629 MB copy, `%copy.874` in the round-5 traffic
+    # map); compiling with AUTO input layouts and device_put-ing the block
+    # into compiled.input_formats removes it — a production server
+    # controls its input buffers the same way. Measured +1.7% e2e
+    # (1,174.6 -> 1,194.6 img/s, tools/exp_input_layout.py 2026-08-20).
+    try:
+        from jax.experimental.layout import Format, Layout
+
+        auto = Format(Layout.AUTO)
+        fn_scan = jax.jit(
+            infer_scan,
+            in_shardings=(jax.tree.map(lambda _: auto, variables), auto))
+        compiled = fn_scan.lower(variables, stacked).compile()
+        in_fmts = compiled.input_formats[0]
+        # scan-phase copies only: the per-dispatch and u8 phases below keep
+        # the original default-layout variables
+        scan_vars = jax.device_put(variables, in_fmts[0])
+        stacked = jax.block_until_ready(jax.device_put(stacked, in_fmts[1]))
+        fn_scan = compiled
+    except Exception as e:  # noqa: BLE001 — layout API drift must not kill the metric
+        print(f"# AUTO input-layout staging unavailable ({type(e).__name__}: {e}); "
+              f"falling back to default layouts", file=sys.stderr)
+        fn_scan = jax.jit(infer_scan)
+        scan_vars = variables
+
     # warmup + compile
-    jax.block_until_ready(fn_scan(variables, stacked))
+    jax.block_until_ready(fn_scan(scan_vars, stacked))
     # one discarded protocol-shaped trial: the first timed host-fetch after
     # compile measured ~10x slow once (101 vs 1037 img/s) — cold fetch path
-    _ = _throughput_scan(fn_scan, variables, stacked, batch, n_iters)
+    _ = _throughput_scan(fn_scan, scan_vars, stacked, batch, n_iters)
 
-    trials = [_throughput_scan(fn_scan, variables, stacked, batch, n_iters) for _ in range(5)]
+    trials = [_throughput_scan(fn_scan, scan_vars, stacked, batch, n_iters) for _ in range(5)]
     imgs_per_sec = statistics.median(trials)
-    del stacked
+    del stacked, scan_vars
 
     xs = [jax.block_until_ready(
         jax.random.uniform(jax.random.PRNGKey(i), (batch, imgsz, imgsz, 3), dtype=jnp.bfloat16))
