@@ -293,3 +293,25 @@ def test_resblock_cbam_shapes():
     v2 = m2.init(jax.random.PRNGKey(1), x)
     out2 = m2.apply(v2, x)
     assert out2.shape == (2, 4, 4, 32)
+
+
+def test_onehot_chunk_unroll_matches_map(monkeypatch):
+    """The unrolled one-hot chunk loop (inference default on TPU) is the
+    same math as the lax.map path — chunk boundaries must not change
+    results. Force multi-chunk by shrinking the chunk budget."""
+    from yolo_dbl_tpu.ops import resample as R
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 6, 6, 5))
+    gy = jax.random.uniform(jax.random.PRNGKey(1), (8, 9, 9), minval=-1.0, maxval=6.0)
+    gx = jax.random.uniform(jax.random.PRNGKey(2), (8, 9, 9), minval=-1.0, maxval=6.0)
+    per_image = 81 * 36 * 4
+    for pad in ("border", "zeros"):
+        unchunked = R._sample_bilinear_onehot(x, gy, gx, pad)  # ch==b fast path
+        monkeypatch.setattr(R, "_ONEHOT_CHUNK_BYTES", per_image * 2)  # ch=2, 4 chunks
+        chunked_map = R._sample_bilinear_onehot(x, gy, gx, pad, prefer_unroll=False)
+        chunked_unroll = R._sample_bilinear_onehot(x, gy, gx, pad, prefer_unroll=True)
+        monkeypatch.setattr(R, "_ONEHOT_CHUNK_BYTES", 256 * 1024 * 1024)
+        np.testing.assert_allclose(np.asarray(chunked_map), np.asarray(chunked_unroll),
+                                   rtol=0, atol=0)
+        np.testing.assert_allclose(np.asarray(chunked_unroll), np.asarray(unchunked),
+                                   rtol=1e-5, atol=1e-5)

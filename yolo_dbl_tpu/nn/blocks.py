@@ -1060,6 +1060,10 @@ class DySample(nn.Module):
                     x[..., gi * cg : (gi + 1) * cg],
                     coords[..., gi],
                     prefer_onehot=train_pref if train else None,
+                    # inference unrolls the one-hot chunk loop (kills the
+                    # lax.map boundary relayouts, 1.025x e2e); training
+                    # keeps lax.map to bound the backward live set
+                    prefer_unroll=not train,
                 )
                 for gi in range(g)
             ],

@@ -103,7 +103,7 @@ def bilinear_upsample(x, scale: int = 2, align_corners: bool = True):
 
 
 def grid_sample_bilinear(x, coords, padding_mode: str = "border", align_corners: bool = False,
-                         prefer_onehot=None):
+                         prefer_onehot=None, prefer_unroll=None):
     """Bilinear grid sample, align_corners=False, 'border' or 'zeros' padding.
 
     Matches torch.nn.functional.grid_sample(x, grid, mode='bilinear',
@@ -115,6 +115,10 @@ def grid_sample_bilinear(x, coords, padding_mode: str = "border", align_corners:
         coords: (B, Ho, Wo, 2) normalized sample grid in [-1, 1], xy order.
         prefer_onehot: allow the one-hot-matmul fast path (False under
             training; None = auto by backend — see sample_bilinear_pixel).
+        prefer_unroll: unroll the one-hot chunk loop (True for inference,
+            where it kills the lax.map boundary relayouts — measured
+            1.025x e2e at b128; None/False = lax.map, which bounds the
+            backward live set under grad).
 
     Returns:
         (B, Ho, Wo, C) sampled features.
@@ -126,7 +130,8 @@ def grid_sample_bilinear(x, coords, padding_mode: str = "border", align_corners:
     else:
         gx = (coords[..., 0] + 1.0) * (w / 2.0) - 0.5
         gy = (coords[..., 1] + 1.0) * (h / 2.0) - 0.5
-    return sample_bilinear_pixel(x, gy, gx, padding_mode, prefer_onehot)
+    return sample_bilinear_pixel(x, gy, gx, padding_mode, prefer_onehot,
+                                 prefer_unroll)
 
 
 # Sources up to this many pixels go through the one-hot-matmul sampling path
@@ -140,7 +145,7 @@ _ONEHOT_MAX_SRC = 4096
 _ONEHOT_CHUNK_BYTES = 256 * 1024 * 1024
 
 
-def _sample_bilinear_onehot(x, gy, gx, padding_mode):
+def _sample_bilinear_onehot(x, gy, gx, padding_mode, prefer_unroll=None):
     """Bilinear sampling as a dense (N_out, H*W) interpolation-matrix matmul.
 
     TPU gathers are slow generic scatters; for small source maps the exact
@@ -191,8 +196,37 @@ def _sample_bilinear_onehot(x, gy, gx, padding_mode):
     ch = max(1, min(b, _ONEHOT_CHUNK_BYTES // max(per_image, 1)))
     while b % ch:
         ch -= 1
+    env = os.environ.get("YOLO_DBL_ONEHOT_UNROLL")
+    if env not in (None, ""):
+        unroll = env not in ("0", "false")
+    else:
+        unroll = bool(prefer_unroll)
     if ch == b:
         out = build_and_mul((flat, y0f, x0f, wy, wx))
+    elif unroll:
+        # Unrolled chunking (inference default on TPU; YOLO_DBL_ONEHOT_UNROLL
+        # forces either way): static slices + concat instead of lax.map. The
+        # while loop forces its carried chunk buffers into a loop-fixed
+        # layout, costing ~840 MB of entry/exit relayout copies per b128
+        # step at the 40->80 DySample sites (round-5 traffic map); unrolling
+        # lets layout assignment propagate freely. Same math, same per-chunk
+        # checkpoint, outputs bitwise identical; measured 1192 -> 1222
+        # img/s/chip e2e (tools/exp_onehot_unroll.py, 2026-08-20). Training
+        # keeps lax.map: its serialized chunks bound the backward live set
+        # (the round-2 one-hot OOM pattern).
+        out = jnp.concatenate(
+            [
+                build_and_mul((
+                    flat[i * ch:(i + 1) * ch],
+                    y0f[i * ch:(i + 1) * ch],
+                    x0f[i * ch:(i + 1) * ch],
+                    wy[i * ch:(i + 1) * ch],
+                    wx[i * ch:(i + 1) * ch],
+                ))
+                for i in range(b // ch)
+            ],
+            axis=0,
+        )
     else:
         out = jax.lax.map(
             build_and_mul,
@@ -208,7 +242,7 @@ def _sample_bilinear_onehot(x, gy, gx, padding_mode):
 
 
 def sample_bilinear_pixel(x, gy, gx, padding_mode: str = "border",
-                          prefer_onehot=None):
+                          prefer_onehot=None, prefer_unroll=None):
     """Bilinear sample NHWC `x` at pixel coordinates gy/gx (B, ...).
 
     prefer_onehot=False forces the gather path — the right choice inside a
@@ -240,7 +274,7 @@ def sample_bilinear_pixel(x, gy, gx, padding_mode: str = "border",
             if supported(x, gyf, gxf):
                 out = sample_bilinear_separable(x, gyf, gxf, padding_mode)
                 return out.reshape(b, *gy.shape[1:], c)
-        return _sample_bilinear_onehot(x, gy, gx, padding_mode)
+        return _sample_bilinear_onehot(x, gy, gx, padding_mode, prefer_unroll)
     x0 = jnp.floor(gx)
     y0 = jnp.floor(gy)
     wx = gx - x0
